@@ -1,0 +1,426 @@
+"""Snapshot lake — keyed, bucketed, copy-on-write tables with atomic commits.
+
+This is the engine's Iceberg-equivalent storage layer (no Iceberg jars exist
+in this sandbox, so the table format is built here from first principles; the
+semantics mirror Iceberg v2 copy-on-write MERGE):
+
+* a table = parquet data files + a JSON **manifest** (``meta/v{N}.json``)
+  listing files per key-bucket, the schema, and the commit ledger;
+* a commit = write new data files → write new manifest → **atomically swap**
+  the ``meta/CURRENT`` pointer (``os.replace``, atomic on POSIX);
+* **exactly-once**: each manifest records, per channel (streaming query), the
+  last applied epoch; a replayed ``foreachBatch(epoch_id)`` is a no-op. The
+  ledger update and the data commit are the same pointer swap, so there is no
+  window where data is applied but the epoch unrecorded (the reference gets
+  the same effect from commit-offsets-after-publish,
+  ``databuilder/extractor/kafka_source_extractor.py:116-131``);
+* **MERGE** = bucketed copy-on-write: rows hash to ``pmod(xxhash64(keys), B)``
+  buckets; a merge reads ONLY the buckets touched by the batch, full-outer
+  joins them with the batch on the key, and rewrites only those buckets —
+  untouched buckets are carried forward by manifest reference. At the 100 TB
+  design point with B=4096, a batch touching 1% of keys reads+rewrites ~1% of
+  the table; the join shuffles only (touched data + batch), the small batch
+  side broadcasts under AQE, and skewed buckets split via AQE skew-join.
+* **schema evolution**: additive only — new batch columns are appended to the
+  table schema; old files are read through the evolved schema (missing →
+  null), mirroring Iceberg's safe additive evolution and the reference's
+  new-shape-new-file behavior (``file_system_neo4j_csv_loader.py:189-191``).
+* **upsert semantics** mirror ``Neo4jCsvPublisher`` MERGE
+  (``databuilder/publisher/neo4j_csv_publisher.py:235-287``): ON MATCH SET /
+  ON CREATE SET, with per-row *create-only* mode (labels configured create-only
+  keep their existing row, :260-269), plus per-row delete.
+
+Paths are plain files (local fs in the sandbox; the layout maps 1:1 onto an
+object store — manifests are tiny JSON, data is parquet).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LINEAGE_COLS = [("publish_tag", T.StringType()), ("updated_ms", T.LongType())]
+
+
+def _bucket_expr(key_cols: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema_json: str
+    key_cols: list[str]
+    n_buckets: int
+    files: dict[str, list[str]]          # bucket (str) -> data file paths
+    epochs: dict[str, int]               # channel -> last applied epoch id
+    metrics: dict[str, Any] = field(default_factory=dict)
+    parent: int | None = None
+    committed_at_ms: int = 0
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        return Snapshot(**json.loads(s))
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta_dir = os.path.join(root, "meta")
+        self.data_dir = os.path.join(root, "data")
+
+    # ---- manifest I/O -------------------------------------------------
+
+    def current(self) -> Snapshot:
+        with open(os.path.join(self.meta_dir, "CURRENT")) as f:
+            v = f.read().strip()
+        with open(os.path.join(self.meta_dir, f"{v}.json")) as f:
+            return Snapshot.from_json(f.read())
+
+    def _commit(self, snap: Snapshot) -> None:
+        snap.committed_at_ms = int(time.time() * 1000)
+        path = os.path.join(self.meta_dir, f"v{snap.version}.json")
+        with open(path, "w") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = os.path.join(self.meta_dir, f".CURRENT.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(f"v{snap.version}")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.meta_dir, "CURRENT"))  # atomic swap
+
+    # ---- read ----------------------------------------------------------
+
+    def _read_files(self, files: list[str], schema: T.StructType) -> DataFrame:
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        # explicit schema: old files lacking evolved columns read as null
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def read(self) -> DataFrame:
+        snap = self.current()
+        return self._read_files(
+            [f for fl in snap.files.values() for f in fl], snap.schema()
+        )
+
+    def last_epoch(self, channel: str) -> int:
+        return self.current().epochs.get(channel, -1)
+
+    # ---- schema evolution ----------------------------------------------
+
+    @staticmethod
+    def _evolve(table_schema: T.StructType, batch_schema: T.StructType,
+                ignore: set[str]) -> T.StructType:
+        """Additive union: batch columns not yet in the table are appended.
+        Type changes and drops are rejected (never destructive)."""
+        existing = {f.name: f for f in table_schema.fields}
+        out = list(table_schema.fields)
+        for f in batch_schema.fields:
+            if f.name in ignore:
+                continue
+            if f.name in existing:
+                if existing[f.name].dataType != f.dataType:
+                    raise ValueError(
+                        f"incompatible type change for column {f.name}: "
+                        f"{existing[f.name].dataType} -> {f.dataType}"
+                    )
+            else:
+                out.append(T.StructField(f.name, f.dataType, True))
+        return T.StructType(out)
+
+    # ---- merge (the upsert) ----------------------------------------------
+
+    def merge_upsert(
+        self,
+        batch: DataFrame,
+        epoch_id: int,
+        channel: str = "default",
+        delete_col: str | None = None,
+        create_only_col: str | None = None,
+        publish_tag: str | None = None,
+    ) -> dict[str, Any]:
+        """Idempotent keyed upsert of one micro-batch.
+
+        ``batch`` must be unique per key (LWW-dedup upstream — MERGE forbids
+        multi-match, same as Iceberg). ``delete_col``: boolean column, true ⇒
+        remove the target row. ``create_only_col``: boolean, true ⇒ existing
+        row wins (reference create-only labels). Returns lineage metrics.
+        """
+        snap = self.current()
+        if snap.epochs.get(channel, -1) >= epoch_id:
+            return {"skipped_epoch": epoch_id, "channel": channel}
+
+        keys = snap.key_cols
+        service_cols = {c for c in (delete_col, create_only_col) if c}
+        new_schema = self._evolve(snap.schema(), batch.schema, service_cols)
+        data_cols = [f.name for f in new_schema.fields]
+        tag = publish_tag or f"epoch_{epoch_id}"
+        now_ms = int(time.time() * 1000)
+
+        bexpr = _bucket_expr(keys, snap.n_buckets)
+        batch = batch.withColumn("__bucket", bexpr)
+        if delete_col is None:
+            batch = batch.withColumn("__del", F.lit(False))
+        else:
+            batch = batch.withColumn("__del", F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False)))
+        if create_only_col is None:
+            batch = batch.withColumn("__co", F.lit(False))
+        else:
+            batch = batch.withColumn("__co", F.coalesce(F.col(create_only_col).cast("boolean"), F.lit(False)))
+
+        touched = [r[0] for r in batch.select("__bucket").distinct().collect()]
+        old_files = [f for b in touched for f in snap.files.get(str(b), [])]
+        target = self._read_files(old_files, new_schema).alias("t")
+
+        s_cols = set(batch.columns)
+        src = batch.select(
+            *keys,
+            "__bucket", "__del", "__co",
+            *[
+                (F.col(c) if c in s_cols else F.lit(None).cast(new_schema[c].dataType)).alias(c)
+                for c in data_cols
+                if c not in keys and c not in ("publish_tag", "updated_ms")
+            ],
+        ).alias("s")
+
+        on = [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in keys]
+        joined = src.join(target, on, "full_outer")
+
+        s_hit = F.col(f"s.{keys[0]}").isNotNull()
+        t_hit = F.col(f"t.{keys[0]}").isNotNull()
+        take_source = s_hit & ~(t_hit & F.col("s.__co"))  # create-only: target wins on match
+
+        out_cols = []
+        for c in data_cols:
+            if c in keys:
+                out_cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+            elif c == "publish_tag":
+                out_cols.append(F.when(take_source, F.lit(tag)).otherwise(F.col("t.publish_tag")).alias(c))
+            elif c == "updated_ms":
+                out_cols.append(F.when(take_source, F.lit(now_ms)).otherwise(F.col("t.updated_ms")).alias(c))
+            else:
+                out_cols.append(F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c))
+
+        obs = Observation()
+        merged = (
+            joined
+            .withColumn("__is_del", s_hit & F.col("s.__del"))
+            .withColumn("__is_ins", s_hit & ~t_hit & ~F.col("s.__del"))
+            .withColumn("__is_upd", s_hit & t_hit & ~F.col("s.__del") & ~F.col("s.__co"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_seen"),
+                F.sum(F.col("__is_ins").cast("long")).alias("rows_inserted"),
+                F.sum(F.col("__is_upd").cast("long")).alias("rows_updated"),
+                F.sum((F.col("__is_del") & t_hit).cast("long")).alias("rows_deleted"),
+            )
+            .where(~F.col("__is_del"))
+            .select(
+                *out_cols,
+                F.coalesce(F.col("s.__bucket"), _bucket_expr([f"t.{k}" for k in keys], snap.n_buckets)).alias("__bucket"),
+            )
+        )
+
+        epoch_dir = os.path.join(self.data_dir, f"e{epoch_id}_{uuid.uuid4().hex[:8]}")
+        merged.write.partitionBy("__bucket").mode("overwrite").parquet(epoch_dir)
+
+        # per-bucket lineage from the written layout (footer-free: dir listing)
+        new_files: dict[str, list[str]] = {}
+        for d in os.listdir(epoch_dir):
+            if d.startswith("__bucket="):
+                b = d.split("=", 1)[1]
+                new_files[b] = sorted(
+                    os.path.join(epoch_dir, d, f)
+                    for f in os.listdir(os.path.join(epoch_dir, d))
+                    if f.endswith(".parquet")
+                )
+        files = dict(snap.files)
+        for b in touched:           # touched buckets fully rewritten (CoW)
+            files.pop(str(b), None)
+        for b, fl in new_files.items():
+            files[b] = fl
+
+        m = obs.get
+        metrics = {
+            "epoch": epoch_id,
+            "channel": channel,
+            "publish_tag": tag,
+            "rows_seen": m.get("rows_seen", 0),
+            "rows_inserted": m.get("rows_inserted") or 0,
+            "rows_updated": m.get("rows_updated") or 0,
+            "rows_deleted": m.get("rows_deleted") or 0,
+            "buckets_touched": len(touched),
+            "buckets_total": snap.n_buckets,
+        }
+        epochs = dict(snap.epochs)
+        epochs[channel] = epoch_id
+        # strip partition column from persisted schema bookkeeping
+        self._commit(
+            Snapshot(
+                version=snap.version + 1,
+                schema_json=json.dumps(new_schema.jsonValue()),
+                key_cols=keys,
+                n_buckets=snap.n_buckets,
+                files=files,
+                epochs=epochs,
+                metrics=metrics,
+                parent=snap.version,
+            )
+        )
+        return metrics
+
+    # ---- delete (staleness path) ----------------------------------------
+
+    def delete_where(self, condition, max_delete_pct: float | None = None,
+                     guard_group_col: str | None = None) -> dict[str, Any]:
+        """Set-based DELETE with the reference's staleness safety guard:
+        abort when the stale share (overall, or within any ``guard_group_col``
+        group) reaches ``max_delete_pct`` (reference default 5%,
+        ``neo4j_staleness_removal_task.py:187-253``)."""
+        snap = self.current()
+        schema = snap.schema()
+        full = self._read_files([f for fl in snap.files.values() for f in fl], schema)
+        cond = condition if not isinstance(condition, str) else F.expr(condition)
+
+        if max_delete_pct is not None:
+            gb = [guard_group_col] if guard_group_col else []
+            stats = (
+                full.groupBy(*gb)
+                .agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.sum(cond.cast("long")).alias("stale"),
+                )
+                .collect()
+            )
+            for r in stats:
+                if r["total"] and (r["stale"] or 0) / r["total"] >= max_delete_pct:
+                    grp = r[guard_group_col] if guard_group_col else "<all>"
+                    raise RuntimeError(
+                        f"staleness guard: {r['stale']}/{r['total']} rows stale in "
+                        f"group {grp} ≥ {max_delete_pct:.0%} — aborting delete"
+                    )
+
+        bexpr = _bucket_expr(snap.key_cols, snap.n_buckets)
+        touched = [
+            r[0]
+            for r in full.where(cond).select(bexpr.alias("b")).distinct().collect()
+        ]
+        if not touched:
+            return {"rows_deleted": 0, "buckets_touched": 0}
+
+        files = [f for b in touched for f in snap.files.get(str(b), [])]
+        obs = Observation()
+        kept = (
+            self._read_files(files, schema)
+            .observe(obs, F.sum(cond.cast("long")).alias("rows_deleted"))
+            .where(~cond)
+            .withColumn("__bucket", bexpr)
+        )
+        out_dir = os.path.join(self.data_dir, f"del_{uuid.uuid4().hex[:8]}")
+        kept.write.partitionBy("__bucket").mode("overwrite").parquet(out_dir)
+
+        new_files: dict[str, list[str]] = {}
+        for d in os.listdir(out_dir):
+            if d.startswith("__bucket="):
+                b = d.split("=", 1)[1]
+                new_files[b] = sorted(
+                    os.path.join(out_dir, d, f)
+                    for f in os.listdir(os.path.join(out_dir, d))
+                    if f.endswith(".parquet")
+                )
+        nf = dict(snap.files)
+        for b in touched:
+            nf.pop(str(b), None)
+        nf.update(new_files)
+        metrics = {
+            "rows_deleted": obs.get.get("rows_deleted") or 0,
+            "buckets_touched": len(touched),
+        }
+        self._commit(
+            Snapshot(
+                version=snap.version + 1,
+                schema_json=snap.schema_json,
+                key_cols=snap.key_cols,
+                n_buckets=snap.n_buckets,
+                files=nf,
+                epochs=dict(snap.epochs),
+                metrics=metrics,
+                parent=snap.version,
+            )
+        )
+        return metrics
+
+
+class SnapshotLake:
+    """A warehouse of :class:`SnapshotTable` (directory per table)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def _root(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._root(name), "meta", "CURRENT"))
+
+    def create_table(
+        self,
+        name: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        n_buckets: int = 64,
+        with_lineage_cols: bool = True,
+        if_not_exists: bool = True,
+    ) -> SnapshotTable:
+        t = SnapshotTable(self.spark, self._root(name))
+        if self.exists(name):
+            if if_not_exists:
+                return t
+            raise ValueError(f"table {name} exists")
+        names = {f.name for f in schema.fields}
+        fields = list(schema.fields)
+        if with_lineage_cols:
+            fields += [
+                T.StructField(c, dt, True) for c, dt in LINEAGE_COLS if c not in names
+            ]
+        full = T.StructType(fields)
+        for k in key_cols:
+            if k not in {f.name for f in full.fields}:
+                raise ValueError(f"key column {k} not in schema")
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        t._commit(
+            Snapshot(
+                version=0,
+                schema_json=json.dumps(full.jsonValue()),
+                key_cols=list(key_cols),
+                n_buckets=n_buckets,
+                files={},
+                epochs={},
+            )
+        )
+        return t
+
+    def table(self, name: str) -> SnapshotTable:
+        if not self.exists(name):
+            raise ValueError(f"no such table: {name}")
+        return SnapshotTable(self.spark, self._root(name))

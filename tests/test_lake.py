@@ -1,0 +1,115 @@
+"""Snapshot lake: merge semantics, exactly-once, schema evolution, deletes."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from amundsendatabuilder_spark.plans.lake import SnapshotLake
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+def _mk(spark, warehouse, n_buckets=8):
+    lake = SnapshotLake(spark, warehouse)
+    return lake, lake.create_table("t", SCHEMA, ["key"], n_buckets=n_buckets)
+
+
+def rows(t):
+    return {r["key"]: (r["name"], r["v"]) for r in t.read().collect()}
+
+
+def test_merge_insert_update(spark, warehouse):
+    lake, t = _mk(spark, warehouse)
+    df = spark.createDataFrame([("a", "A", 1), ("b", "B", 1)], SCHEMA)
+    m = t.merge_upsert(df, epoch_id=0)
+    assert m["rows_inserted"] == 2 and m["rows_updated"] == 0
+    df2 = spark.createDataFrame([("b", "B2", 2), ("c", "C", 1)], SCHEMA)
+    m2 = t.merge_upsert(df2, epoch_id=1)
+    assert m2["rows_inserted"] == 1 and m2["rows_updated"] == 1
+    assert rows(t) == {"a": ("A", 1), "b": ("B2", 2), "c": ("C", 1)}
+    # lineage columns stamped
+    r = {x["key"]: x for x in t.read().collect()}
+    assert r["a"]["publish_tag"] == "epoch_0"
+    assert r["b"]["publish_tag"] == "epoch_1"
+    assert r["b"]["updated_ms"] > 0
+
+
+def test_exactly_once_epoch_replay(spark, warehouse):
+    lake, t = _mk(spark, warehouse)
+    df = spark.createDataFrame([("a", "A", 1)], SCHEMA)
+    t.merge_upsert(df, epoch_id=5)
+    v_before = t.current().version
+    m = t.merge_upsert(spark.createDataFrame([("a", "GARBAGE", 99)], SCHEMA), epoch_id=5)
+    assert "skipped_epoch" in m
+    assert t.current().version == v_before
+    assert rows(t)["a"] == ("A", 1)
+    # but a different channel may apply the same epoch number
+    m2 = t.merge_upsert(spark.createDataFrame([("z", "Z", 1)], SCHEMA), epoch_id=5, channel="other")
+    assert m2["rows_inserted"] == 1
+
+
+def test_delete_rows_via_merge(spark, warehouse):
+    lake, t = _mk(spark, warehouse)
+    t.merge_upsert(spark.createDataFrame([("a", "A", 1), ("b", "B", 1)], SCHEMA), 0)
+    batch = spark.createDataFrame(
+        [("a", None, None, True), ("x", None, None, True), ("b", "B2", 2, False)],
+        T.StructType(SCHEMA.fields + [T.StructField("is_delete", T.BooleanType())]),
+    )
+    m = t.merge_upsert(batch, 1, delete_col="is_delete")
+    assert m["rows_deleted"] == 1  # 'x' delete is a no-op, not counted
+    assert rows(t) == {"b": ("B2", 2)}
+
+
+def test_create_only(spark, warehouse):
+    lake, t = _mk(spark, warehouse)
+    t.merge_upsert(spark.createDataFrame([("a", "orig", 1)], SCHEMA), 0)
+    batch = spark.createDataFrame(
+        [("a", "newer", 2, True), ("b", "B", 1, True)],
+        T.StructType(SCHEMA.fields + [T.StructField("co", T.BooleanType())]),
+    )
+    t.merge_upsert(batch, 1, create_only_col="co")
+    r = rows(t)
+    assert r["a"] == ("orig", 1)  # existing row wins for create-only
+    assert r["b"] == ("B", 1)
+
+
+def test_schema_evolution_additive(spark, warehouse):
+    lake, t = _mk(spark, warehouse)
+    t.merge_upsert(spark.createDataFrame([("a", "A", 1)], SCHEMA), 0)
+    evolved = T.StructType(SCHEMA.fields + [T.StructField("extra", T.StringType())])
+    t.merge_upsert(spark.createDataFrame([("b", "B", 1, "X")], evolved), 1)
+    got = {r["key"]: r["extra"] for r in t.read().collect()}
+    assert got == {"a": None, "b": "X"}  # old rows read null through evolved schema
+    # destructive type change rejected
+    bad = T.StructType([T.StructField("key", T.StringType()), T.StructField("v", T.StringType())])
+    with pytest.raises(ValueError, match="incompatible"):
+        t.merge_upsert(spark.createDataFrame([("c", "1")], bad), 2)
+
+
+def test_delete_where_and_guard(spark, warehouse):
+    lake, t = _mk(spark, warehouse)
+    df = spark.createDataFrame([(f"k{i}", "N", i) for i in range(100)], SCHEMA)
+    t.merge_upsert(df, 0)
+    with pytest.raises(RuntimeError, match="staleness guard"):
+        t.delete_where(F.col("v") < 50, max_delete_pct=0.05)
+    m = t.delete_where(F.col("v") < 3, max_delete_pct=0.05)
+    assert m["rows_deleted"] == 3
+    assert t.read().count() == 97
+
+
+def test_cow_only_touched_buckets(spark, warehouse):
+    lake, t = _mk(spark, warehouse, n_buckets=16)
+    df = spark.createDataFrame([(f"k{i}", "N", i) for i in range(200)], SCHEMA)
+    t.merge_upsert(df, 0)
+    before = t.current().files
+    m = t.merge_upsert(spark.createDataFrame([("k0", "N2", 0)], SCHEMA), 1)
+    assert m["buckets_touched"] == 1
+    after = t.current().files
+    unchanged = [b for b in before if before[b] == after.get(b)]
+    assert len(unchanged) == len(before) - 1  # only one bucket rewritten
