@@ -1,0 +1,143 @@
+"""Search-document build — entity rows → table search documents.
+
+Spark re-expression of the reference's biggest relational query, the Cypher
+search-document extraction (``databuilder/extractor/neo4j_search_data_extractor.py:23-62``):
+an 8-way OPTIONAL-MATCH join + collect/sum aggregation shaped into the
+15-field ``TableESDocument`` (``databuilder/models/table_elasticsearch_document.py:9-50``).
+
+In the CDC pipeline the docs are built **incrementally**: only the entities
+touched by a micro-batch are (re)built and MERGEd, instead of the reference's
+full-index rebuild + alias swap (``elasticsearch_publisher.py:74-125``) — at
+the 100 TB design point a full rebuild per batch is untenable; the snapshot
+swap the reference uses for atomicity is supplied by the lake's manifest
+commit. A full rebuild from the graph tables is still available
+(:func:`docs_from_graph`) and is used by tests to prove the incremental path
+converges to the batch-rebuild answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("database", T.StringType()),
+        T.StructField("cluster", T.StringType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("display_name", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("last_updated_timestamp", T.LongType()),
+        T.StructField("column_names", T.ArrayType(T.StringType())),
+        T.StructField("column_descriptions", T.ArrayType(T.StringType())),
+        T.StructField("total_usage", T.LongType()),
+        T.StructField("unique_usage", T.LongType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("badges", T.ArrayType(T.StringType())),
+        T.StructField("schema_description", T.StringType()),
+        T.StructField("programmatic_descriptions", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def docs_from_entities(e: DataFrame) -> DataFrame:
+    """Incremental path: docs straight from extracted entity rows (no joins —
+    the entity row already carries everything the doc needs)."""
+    empty = F.array().cast(T.ArrayType(T.StringType()))
+    return e.select(
+        F.col("table_key").alias("key"),
+        F.col("database"),
+        F.col("cluster"),
+        F.col("repo").alias("schema"),
+        F.col("path").alias("name"),
+        F.concat_ws(".", F.col("repo"), F.col("path")).alias("display_name"),
+        F.col("description"),
+        F.col("last_updated_epoch").alias("last_updated_timestamp"),
+        F.col("functions").alias("column_names"),
+        empty.alias("column_descriptions"),
+        F.lit(0).cast("long").alias("total_usage"),
+        F.lit(0).cast("long").alias("unique_usage"),
+        F.array(F.col("lang")).alias("tags"),
+        empty.alias("badges"),
+        F.lit(None).cast("string").alias("schema_description"),
+        empty.alias("programmatic_descriptions"),
+    )
+
+
+def docs_from_graph(nodes: DataFrame, relations: DataFrame) -> DataFrame:
+    """Batch path: rebuild all docs from the graph tables — the literal Spark
+    translation of the reference Cypher (spine joins + left joins + aggs).
+
+    Plan shape: Table spine ⟕ Schema (via TABLE rel) ⟕ Description ⟕ Columns
+    (collect_list ordered by sort_order) ⟕ Timestamp. All joins are on node
+    keys (hash joins; dimension sides are the smaller node subsets and
+    broadcast under AQE)."""
+    n = nodes
+    tables = n.where(F.col("label") == "Table").select(
+        F.col("key"),
+        F.col("attributes")["name"].alias("name"),
+    )
+    tbl_rel = relations.where(F.col("type") == "TABLE").select(
+        F.col("start_key").alias("schema_key"), F.col("end_key").alias("key")
+    )
+    schemas = n.where(F.col("label") == "Schema").select(
+        F.col("key").alias("schema_key"),
+        F.col("attributes")["name"].alias("schema"),
+    )
+    descs = n.where(F.col("label") == "Description").select(
+        F.regexp_replace(F.col("key"), "/_description$", "").alias("key"),
+        F.col("attributes")["description"].alias("description"),
+    )
+    cols = (
+        n.where(F.col("label") == "Column")
+        .select(
+            F.regexp_extract(F.col("key"), "^(.*)/[^/]+$", 1).alias("key"),
+            F.struct(
+                F.col("attributes")["sort_order"].cast("int").alias("so"),
+                F.col("attributes")["name"].alias("name"),
+            ).alias("c"),
+        )
+        .groupBy("key")
+        .agg(F.sort_array(F.collect_list("c")).alias("cs"))
+        .select("key", F.col("cs.name").alias("column_names"))
+    )
+    ts = n.where(F.col("label") == "Timestamp").select(
+        F.regexp_replace(F.col("key"), "/timestamp$", "").alias("key"),
+        F.col("attributes")["last_updated_timestamp"].cast("long").alias(
+            "last_updated_timestamp"
+        ),
+    )
+    tags = n.where(F.col("label") == "Table").select(
+        F.col("key"), F.array(F.col("attributes")["lang"]).alias("tags")
+    )
+
+    empty = F.array().cast(T.ArrayType(T.StringType()))
+    spine = (
+        tables.join(tbl_rel, "key", "left")
+        .join(schemas, "schema_key", "left")
+        .join(descs, "key", "left")
+        .join(cols, "key", "left")
+        .join(ts, "key", "left")
+        .join(tags, "key", "left")
+    )
+    return spine.select(
+        "key",
+        F.split(F.col("key"), "://")[0].alias("database"),
+        F.split(F.split(F.col("key"), "://")[1], "\\.")[0].alias("cluster"),
+        F.col("schema"),
+        F.col("name"),
+        F.concat_ws(".", F.col("schema"), F.col("name")).alias("display_name"),
+        F.col("description"),
+        F.col("last_updated_timestamp"),
+        F.coalesce(F.col("column_names"), empty).alias("column_names"),
+        empty.alias("column_descriptions"),
+        F.lit(0).cast("long").alias("total_usage"),
+        F.lit(0).cast("long").alias("unique_usage"),
+        F.coalesce(F.col("tags"), empty).alias("tags"),
+        empty.alias("badges"),
+        F.lit(None).cast("string").alias("schema_description"),
+        empty.alias("programmatic_descriptions"),
+    )

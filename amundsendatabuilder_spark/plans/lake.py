@@ -123,6 +123,21 @@ class SnapshotTable:
     def last_epoch(self, channel: str) -> int:
         return self.current().epochs.get(channel, -1)
 
+    def read_for_keys(self, keys_df: DataFrame) -> DataFrame:
+        """Current rows whose key appears in ``keys_df`` — reads only the
+        touched buckets (manifest pruning) then left-semi joins on the key.
+        The point-lookup primitive of the CDC diff path."""
+        snap = self.current()
+        b = keys_df.select(_bucket_expr(snap.key_cols, snap.n_buckets).alias("b"))
+        touched = [r[0] for r in b.distinct().collect()]
+        files = [f for t in touched for f in snap.files.get(str(t), [])]
+        cur = self._read_files(files, snap.schema())
+        return cur.join(
+            keys_df.select(*snap.key_cols).dropDuplicates(snap.key_cols),
+            on=snap.key_cols,
+            how="left_semi",
+        )
+
     # ---- schema evolution ----------------------------------------------
 
     @staticmethod
@@ -185,6 +200,10 @@ class SnapshotTable:
         else:
             batch = batch.withColumn("__co", F.coalesce(F.col(create_only_col).cast("boolean"), F.lit(False)))
 
+        # materialize the batch once: it is consumed 3× below (touched-bucket
+        # scan, merge join, metrics) and its upstream plan may be expensive
+        batch = batch.localCheckpoint(eager=True)
+
         touched = [r[0] for r in batch.select("__bucket").distinct().collect()]
         old_files = [f for b in touched for f in snap.files.get(str(b), [])]
         target = self._read_files(old_files, new_schema).alias("t")
@@ -239,7 +258,12 @@ class SnapshotTable:
         )
 
         epoch_dir = os.path.join(self.data_dir, f"e{epoch_id}_{uuid.uuid4().hex[:8]}")
-        merged.write.partitionBy("__bucket").mode("overwrite").parquet(epoch_dir)
+        # repartition by bucket → ~one file per touched bucket per epoch
+        # (without it every task writes a sliver into every bucket dir and the
+        # file count grows as tasks × buckets per epoch — fatal at scale)
+        merged.repartition("__bucket").write.partitionBy("__bucket").mode(
+            "overwrite"
+        ).parquet(epoch_dir)
 
         # per-bucket lineage from the written layout (footer-free: dir listing)
         new_files: dict[str, list[str]] = {}
@@ -334,7 +358,9 @@ class SnapshotTable:
             .withColumn("__bucket", bexpr)
         )
         out_dir = os.path.join(self.data_dir, f"del_{uuid.uuid4().hex[:8]}")
-        kept.write.partitionBy("__bucket").mode("overwrite").parquet(out_dir)
+        kept.repartition("__bucket").write.partitionBy("__bucket").mode(
+            "overwrite"
+        ).parquet(out_dir)
 
         new_files: dict[str, list[str]] = {}
         for d in os.listdir(out_dir):

@@ -1,0 +1,239 @@
+"""The CDC pipeline — changelog micro-batches → graph + search-doc tables.
+
+One ``foreachBatch`` application does, per micro-batch (epoch):
+
+1. **LWW dedup** (``groupBy.max(struct)`` — map-side combine kills dup/skew).
+2. split upserts vs deletes.
+3. **diff against current state**: read the old entity rows for exactly the
+   touched keys (bucket-pruned point lookup) and compute the exact child
+   nodes/relations/docs that the new state no longer produces — these become
+   delete rows. This replaces the reference's publish-then-reap staleness
+   model with an exact incremental diff; the staleness task still exists for
+   shared nodes and disaster recovery.
+4. **MERGE** nodes, relations, search docs — derived tables first.
+5. **MERGE the entity table LAST** — it is the epoch commit marker.
+
+Exactly-once: each table keeps a per-channel epoch ledger inside its manifest
+(commit & ledger swap atomically). Derived tables are merged strictly before
+the entity table, and every derivation reads only (batch + entity-table
+current state), so a crash anywhere leaves the system in a state where
+replaying the same epoch recomputes byte-identical merges; tables that
+already applied the epoch skip via their ledger. This is the engine-grade
+version of the reference's commit-Kafka-offsets-only-after-publish
+(``databuilder/extractor/kafka_source_extractor.py:116-131``).
+
+Scale notes: every stage is either narrow (extraction, expansion) or shuffles
+only batch-sized data (dedup, diff join, merge join of batch vs touched
+buckets). Nothing reads the full table; per-epoch cost is proportional to the
+batch's key footprint, not table size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amundsendatabuilder_spark.functions import keys as K
+from amundsendatabuilder_spark.operators.dedup import lww_dedup_agg
+from amundsendatabuilder_spark.operators.extract import extract_entities
+from amundsendatabuilder_spark.operators.models import (
+    NODE_SCHEMA,
+    REL_SCHEMA,
+    nodes_from_entities,
+    relations_from_entities,
+    validate_nodes,
+    validate_relations,
+)
+from amundsendatabuilder_spark.operators.search_docs import DOC_SCHEMA, docs_from_entities
+from amundsendatabuilder_spark.plans.lake import SnapshotLake
+from amundsendatabuilder_spark.sources.changelog import CHANGELOG_SCHEMA
+
+ENTITY_KEYS = ["repo", "path"]
+NODE_KEYS = ["key", "label"]
+REL_KEYS = ["start_key", "end_key", "type"]
+DOC_KEYS = ["key"]
+
+
+def _strip(schema, drop: set[str]):
+    import pyspark.sql.types as T
+
+    return T.StructType([f for f in schema.fields if f.name not in drop])
+
+
+class CDCPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        n_buckets: int = 64,
+        cluster: str = K.CLUSTER,
+        create_only_labels: tuple[str, ...] = (),
+    ):
+        self.spark = spark
+        self.cluster = cluster
+        self.create_only_labels = create_only_labels
+        self.lake = SnapshotLake(spark, warehouse)
+        self.metrics_dir = os.path.join(warehouse, "_metrics")
+        os.makedirs(self.metrics_dir, exist_ok=True)
+
+        from amundsendatabuilder_spark.operators.extract import extract_entities as _x
+
+        entity_schema = _x(
+            spark.createDataFrame([], CHANGELOG_SCHEMA), cluster
+        ).drop("op", "shard", "event_id").schema
+        self.repo_files = self.lake.create_table(
+            "repo_files", entity_schema, ENTITY_KEYS, n_buckets=n_buckets
+        )
+        self.graph_nodes = self.lake.create_table(
+            "graph_nodes", _strip(NODE_SCHEMA, {"scope_key"}), NODE_KEYS, n_buckets=n_buckets
+        )
+        self.graph_relations = self.lake.create_table(
+            "graph_relations", _strip(REL_SCHEMA, {"scope_key"}), REL_KEYS, n_buckets=n_buckets
+        )
+        self.search_documents = self.lake.create_table(
+            "search_documents", DOC_SCHEMA, DOC_KEYS, n_buckets=n_buckets
+        )
+
+    # -- the foreachBatch body -------------------------------------------
+
+    def apply_batch(self, batch: DataFrame, epoch_id: int) -> dict[str, Any]:
+        t0 = time.time()
+        if self.repo_files.last_epoch("cdc") >= epoch_id:
+            return {"epoch": epoch_id, "skipped": True}
+
+        winners = lww_dedup_agg(batch, ENTITY_KEYS, ["event_ts", "commit"])
+        winners = winners.localCheckpoint(eager=True)  # cut lineage; reused 4×
+
+        upserts = winners.where(F.col("op") != "delete")
+        deletes = winners.where(F.col("op") == "delete").select("repo", "path")
+
+        # each entity frame feeds 3 expansions (nodes/rels/docs) + diffs —
+        # materialize once, expansions become cheap narrow projections
+        new_entities = (
+            extract_entities(upserts, self.cluster)
+            .drop("op", "shard", "event_id")
+            .localCheckpoint(eager=True)
+        )
+        old_entities = self.repo_files.read_for_keys(
+            winners.select(*ENTITY_KEYS)
+        ).localCheckpoint(eager=True)
+
+        new_nodes = validate_nodes(nodes_from_entities(new_entities))
+        new_rels = validate_relations(relations_from_entities(new_entities))
+        old_nodes = validate_nodes(nodes_from_entities(old_entities))
+        old_rels = validate_relations(relations_from_entities(old_entities))
+
+        # exact child diff: scoped rows the old state produced but the new
+        # state no longer does (covers shrunk entities AND deleted entities)
+        node_dels = (
+            old_nodes.where(F.col("scope_key").isNotNull())
+            .join(new_nodes, NODE_KEYS, "left_anti")
+            .select(*NODE_KEYS)
+            .withColumn("__delete", F.lit(True))
+        )
+        rel_dels = (
+            old_rels.where(F.col("scope_key").isNotNull())
+            .join(new_rels, REL_KEYS, "left_anti")
+            .select("start_key", "end_key", "type", "start_label", "end_label", "reverse_type")
+            .withColumn("__delete", F.lit(True))
+        )
+
+        tag = f"epoch_{epoch_id}"
+        node_batch = (
+            new_nodes.drop("scope_key")
+            .withColumn("__delete", F.lit(False))
+            .unionByName(node_dels, allowMissingColumns=True)
+            .withColumn(
+                "__create_only",
+                F.col("label").isin(list(self.create_only_labels))
+                if self.create_only_labels
+                else F.lit(False),
+            )
+        )
+        m_nodes = self.graph_nodes.merge_upsert(
+            node_batch, epoch_id, channel="cdc", delete_col="__delete",
+            create_only_col="__create_only", publish_tag=tag,
+        )
+
+        rel_batch = (
+            new_rels.drop("scope_key")
+            .withColumn("__delete", F.lit(False))
+            .unionByName(rel_dels, allowMissingColumns=True)
+        )
+        m_rels = self.graph_relations.merge_upsert(
+            rel_batch, epoch_id, channel="cdc", delete_col="__delete", publish_tag=tag
+        )
+
+        doc_dels = deletes.select(
+            K.table_key(F.col("repo"), F.col("path"), self.cluster).alias("key")
+        ).withColumn("__delete", F.lit(True))
+        doc_batch = (
+            docs_from_entities(new_entities)
+            .withColumn("__delete", F.lit(False))
+            .unionByName(doc_dels, allowMissingColumns=True)
+        )
+        m_docs = self.search_documents.merge_upsert(
+            doc_batch, epoch_id, channel="cdc", delete_col="__delete", publish_tag=tag
+        )
+
+        # entity table LAST — the commit marker for the whole epoch
+        entity_batch = new_entities.withColumn("__delete", F.lit(False)).unionByName(
+            deletes.withColumn("__delete", F.lit(True)), allowMissingColumns=True
+        )
+        m_ent = self.repo_files.merge_upsert(
+            entity_batch, epoch_id, channel="cdc", delete_col="__delete", publish_tag=tag
+        )
+
+        metrics = {
+            "epoch": epoch_id,
+            "wall_sec": round(time.time() - t0, 3),
+            "repo_files": m_ent,
+            "graph_nodes": m_nodes,
+            "graph_relations": m_rels,
+            "search_documents": m_docs,
+        }
+        with open(os.path.join(self.metrics_dir, f"epoch_{epoch_id}.json"), "w") as f:
+            json.dump(metrics, f, sort_keys=True)
+        return metrics
+
+    # -- runners ------------------------------------------------------------
+
+    def replay_batches(self, chunk_paths: list[str], start_epoch: int = 0) -> list[dict]:
+        """Batch-mode replay: one epoch per parquet chunk (resumable — applied
+        epochs no-op via the ledger)."""
+        out = []
+        for i, p in enumerate(chunk_paths):
+            df = self.spark.read.schema(CHANGELOG_SCHEMA).parquet(p)
+            out.append(self.apply_batch(df, start_epoch + i))
+        return out
+
+    def run_stream(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 1,
+        available_now: bool = True,
+    ):
+        """Structured Streaming replay: file source + checkpointed offsets +
+        the epoch ledger = exactly-once end to end. ``availableNow`` drains
+        the backlog in micro-batches then stops (kill-resume safe)."""
+        stream = (
+            self.spark.readStream.schema(CHANGELOG_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(lambda df, eid: self.apply_batch(df, eid))
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName("cdc_ingest")
+        )
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+        else:
+            q = writer.start()
+        return q
