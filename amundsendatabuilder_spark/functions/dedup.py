@@ -1,0 +1,226 @@
+"""Deduplication family for web-scale corpora.
+
+Five strategies, cheap → precise, all shuffle-disciplined:
+
+* **exact** — fingerprint hash-groupBy; map-side combine collapses dup groups
+  before the shuffle.
+* **n-gram Jaccard** — exact set similarity via shingle self-join (inverted
+  index). Exact but quadratic in posting-list length; used as the verifier.
+* **MinHash + LSH** — k permutations → b bands; band-bucket join proposes
+  candidates in near-linear time; Jaccard on candidates only. The 100 TB path.
+* **SimHash** — 64-bit bit-voting signature; hamming-close buckets.
+* **embedding cosine** — near-dup by vector similarity (see similarity.py).
+
+MinHash/SimHash signatures are computed with JVM-side ``xxhash64`` per
+shingle + array aggregation (no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from amundsendatabuilder_spark.functions.text import doc_fingerprint, word_shingles
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) docs: fingerprint, keeper id
+    (min id), group size. One shuffle, partial-agg friendly."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row (min id) per normalized-content fingerprint."""
+    w = df.withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
+    keep = w.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return w.join(keep, ["fingerprint", id_col], "left_semi").drop("fingerprint")
+
+
+def shingle_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                     n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs sharing ≥1 shingle.
+
+    Inverted-index self-join: postings grouped by shingle; ultra-common
+    shingles (posting list > ``max_posting``) are dropped — standard stop-
+    shingle pruning; a pair sharing ONLY stop-shingles is noise at any scale.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    posts = shingle_postings(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sizes = posts.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    hot = (
+        posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("pc"))
+        .where(F.col("pc") > max_posting)
+        .select("shingle")
+    )
+    pruned = posts.join(hot, "shingle", "left_anti")
+
+    a = pruned.select(F.col("shingle"), F.col(id_col).alias("id_a"))
+    b = pruned.select(F.col("shingle"), F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 3, k: int = 64) -> DataFrame:
+    """k-permutation MinHash signature per doc, entirely JVM-side:
+    sig[i] = min over shingles of xxhash64(shingle, seed=i)."""
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("sh"))
+
+    def _perm(i: int):
+        # closure factory: a `lambda s, i=i:` would be seen by the HOF
+        # machinery as a 2-arg lambda and receive the array index instead
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("sh"), _perm(i))) for i in range(k)]
+    )
+    return sh.where(F.size("sh") > 0).select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: signature split into ``bands`` rows of k/bands values;
+    docs sharing any band-hash are candidates. Near-linear: explode → shuffle
+    on band hash → per-bucket pairs. Returns (id_a, id_b, est_jaccard)."""
+    rows = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, k).localCheckpoint(eager=True)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws("|", *[F.element_at("signature", b * rows + r + 1).cast("string") for r in range(rows)])
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / F.lit(float(64 if k is None else k))
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash by bit-voting over word hashes, JVM-side: for each bit,
+    sign(sum over words of ±1) — near-dups differ in few bits."""
+    words = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+
+    def _vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_votes = [
+        F.aggregate(hashes, F.lit(0).cast("long"), _vote(b)) for b in range(bits)
+    ]
+    sim = None
+    for b, v in enumerate(bit_votes):
+        term = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2 ** b).cast("long") if b < 63 else \
+               F.when(v > 0, F.lit(-(2 ** 63))).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming_distance(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Candidate near-dups by SimHash: block on the 4 16-bit quarters (any
+    pair within hamming ≤ 3 of 64 shares at least one exact quarter by
+    pigeonhole with margin), verify full hamming distance."""
+    s = simhash(df, id_col, text_col).localCheckpoint(eager=True)
+    quarters = s.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned("simhash", q * 16).bitwiseAND(F.lit(0xFFFF)).cast("int")
+                for q in range(4)
+            ])
+        ).alias("q", "qval"),
+    )
+    a = quarters.select("q", "qval", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"))
+    b = quarters.select("q", "qval", F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        a.join(b, ["q", "qval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming_distance(F.col("h_a"), F.col("h_b")).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,128 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path expressions are JVM built-ins (whole-stage codegen): tokenize,
+token counts, quality scoring, language-ID heuristic, fingerprinting. Each is
+deliberately *defined* so an external SQL engine (the DuckDB oracle) can
+reproduce it exactly — determinism is part of the operator contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# language → discriminative stopwords (heuristic n-gram/lexicon language-ID)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+_WORD_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def re_token_count(text: Column) -> Column:
+    """BPE-ish token count: word chunks + individual punctuation marks."""
+    return F.coalesce(F.regexp_count(text, F.lit(_WORD_RE)), F.lit(0)).cast("long")
+
+
+def stopword_count(text: Column, lang: str) -> Column:
+    words = LANG_STOPWORDS[lang]
+    if all(w.isascii() for w in words):
+        pat = r"\b(" + "|".join(words) + r")\b"
+    else:
+        # CJK: \b is ASCII-word-boundary in RE2 (and effectively in Java's
+        # default \w) — plain occurrence counting is the portable definition
+        pat = "(" + "|".join(words) + ")"
+    return F.coalesce(F.regexp_count(F.lower(text), F.lit(pat)), F.lit(0))
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over per-language stopword hit counts; ties and zero-hit rows
+    fall back to 'unknown'. Deterministic tie-break: language name asc."""
+    scores = [
+        F.struct(
+            stopword_count(text, lang).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in sorted(LANG_STOPWORDS)
+    ]
+    # max over (hits, lang) — but prefer SMALLER lang name on tied hits:
+    # invert via array_min on (−hits, lang)
+    cand = F.array_min(
+        F.array(
+            *[
+                F.struct((-s["hits"]).alias("neg"), s["lang"].alias("lang"))
+                for s in scores
+            ]
+        )
+    )
+    return F.when(cand["neg"] >= 0, F.lit("unknown")).otherwise(cand["lang"])
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.coalesce(F.regexp_count(text, F.lit(r"[^\w\s]")), F.lit(0))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = ws_token_count(text)
+    return F.when(toks > 0, stopword_count(text, lang).cast("double") / toks.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document quality in [0,1]: length band + low punctuation +
+    reasonable mean word length. Formula is part of the contract:
+
+    0.4 * min(1, n_tokens/64) + 0.3 * (1 − min(1, punct_ratio*4))
+    + 0.3 * (1 if 3 ≤ mean_word_len ≤ 12 else 0)
+    """
+    toks = ws_token_count(text)
+    mean_wl = F.when(
+        toks > 0,
+        (F.length(F.regexp_replace(text, r"\s+", ""))).cast("double") / toks.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), toks.cast("double") / F.lit(64.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(text) * 4))
+        + F.lit(0.3) * F.when((mean_wl >= 3) & (mean_wl <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+
+
+def normalize_for_fingerprint(text: Column) -> Column:
+    """Canonical form for content-defined fingerprints: lowercase, strip all
+    non-alphanumerics."""
+    return F.regexp_replace(F.lower(text), r"[^a-z0-9]", "")
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint (md5 of normalized text) — the
+    rolling-hash document identity used by exact dedup."""
+    return F.md5(normalize_for_fingerprint(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (lowercased, whitespace-tokenized) — the shingle
+    set for Jaccard/MinHash dedup. Empty/short docs → empty array."""
+    words = F.split(F.trim(F.lower(text)), r"\s+")
+    # transform over index positions: shingle i = words[i..i+n-1]
+    k = F.size(words) - F.lit(n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+            )
+        )
+    )

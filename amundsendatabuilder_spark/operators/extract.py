@@ -51,7 +51,9 @@ def extract_entities(upserts: DataFrame, cluster: str = K.CLUSTER) -> DataFrame:
         .withColumn(
             "version",
             F.coalesce(
-                F.regexp_extract(F.col("content"), r" v(\d+)\n", 1).cast("long"),
+                F.nullif(
+                    F.regexp_extract(F.col("content"), r" v(\d+)\n", 1), F.lit("")
+                ).cast("long"),
                 F.lit(0),
             ),
         )
