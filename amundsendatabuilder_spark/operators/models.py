@@ -152,15 +152,16 @@ def nodes_from_entities(e: DataFrame) -> DataFrame:
             _node(
                 cols,
                 F.concat(F.col("table_key"), F.lit("/"), F.col("fn_name")), "Column",
-                _smap(name=F.col("fn_name"), col_type=F.col("lang"),
+                _smap(name=F.col("fn_name"), type=F.col("lang"),
                       sort_order=F.col("sort_order")),
                 _tmap(sort_order="int"), F.col("table_key"),
             ),
             _node(
                 e, ts_key, "Timestamp",
                 _smap(last_updated_timestamp=F.col("last_updated_epoch"),
+                      timestamp=F.col("last_updated_epoch"),
                       name=F.lit("last_updated_timestamp")),
-                _tmap(last_updated_timestamp="int"), scope,
+                _tmap(last_updated_timestamp="int", timestamp="int"), scope,
             ),
             _node(
                 e, wm_key, "Watermark",

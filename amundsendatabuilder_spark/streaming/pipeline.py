@@ -103,11 +103,20 @@ class CDCPipeline:
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> dict[str, Any]:
         t0 = time.time()
+        dbg = os.environ.get("SPARK_CDC_DEBUG_TIMING")
+        marks: list[tuple[str, float]] = []
+
+        def mark(label: str) -> None:
+            if dbg:
+                marks.append((label, round(time.time() - t0, 1)))
+                print(f"    [{epoch_id}] {label} @ {marks[-1][1]}s", flush=True)
+
         if self.repo_files.last_epoch("cdc") >= epoch_id:
             return {"epoch": epoch_id, "skipped": True}
 
         winners = lww_dedup_agg(batch, ENTITY_KEYS, ["event_ts", "commit"])
         winners = winners.localCheckpoint(eager=True)  # cut lineage; reused 4×
+        mark("dedup+ckpt")
 
         upserts = winners.where(F.col("op") != "delete")
         deletes = winners.where(F.col("op") == "delete").select("repo", "path")
@@ -119,9 +128,11 @@ class CDCPipeline:
             .drop("op", "shard", "event_id")
             .localCheckpoint(eager=True)
         )
+        mark("extract+ckpt")
         old_entities = self.repo_files.read_for_keys(
             winners.select(*ENTITY_KEYS)
         ).localCheckpoint(eager=True)
+        mark("old_state+ckpt")
 
         new_nodes = validate_nodes(nodes_from_entities(new_entities))
         new_rels = validate_relations(relations_from_entities(new_entities))
@@ -159,6 +170,7 @@ class CDCPipeline:
             node_batch, epoch_id, channel="cdc", delete_col="__delete",
             create_only_col="__create_only", publish_tag=tag,
         )
+        mark("merge_nodes")
 
         rel_batch = (
             new_rels.drop("scope_key")
@@ -168,6 +180,7 @@ class CDCPipeline:
         m_rels = self.graph_relations.merge_upsert(
             rel_batch, epoch_id, channel="cdc", delete_col="__delete", publish_tag=tag
         )
+        mark("merge_rels")
 
         doc_dels = deletes.select(
             K.table_key(F.col("repo"), F.col("path"), self.cluster).alias("key")
@@ -180,6 +193,7 @@ class CDCPipeline:
         m_docs = self.search_documents.merge_upsert(
             doc_batch, epoch_id, channel="cdc", delete_col="__delete", publish_tag=tag
         )
+        mark("merge_docs")
 
         # entity table LAST — the commit marker for the whole epoch
         entity_batch = new_entities.withColumn("__delete", F.lit(False)).unionByName(
@@ -188,6 +202,7 @@ class CDCPipeline:
         m_ent = self.repo_files.merge_upsert(
             entity_batch, epoch_id, channel="cdc", delete_col="__delete", publish_tag=tag
         )
+        mark("merge_entities")
 
         metrics = {
             "epoch": epoch_id,

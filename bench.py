@@ -1,0 +1,157 @@
+"""Benchmark harness — CDC replay throughput + headline query timings.
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_events_per_sec", "value": <wall sec total>,
+   "unit": "sec", "queries": {...per-query sec...}, "sf": ...,
+   "replay": {"events": N, "events_per_sec_N": ..., "events_per_sec_4N": ...,
+              "scaling_efficiency": ...}}
+
+Scaling evidence (BASELINE.json north_rule, sandboxed form): the same replay
+job runs at two parallelism levels — local[CPUS/4] and local[CPUS] — on the
+identical pre-materialized changelog; efficiency =
+throughput_4N / (4 × throughput_N). Final-state digests of both runs are
+compared to prove determinism across cluster sizes.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_EVENTS (default 2_000_000),
+SPARK_GRAFT_BENCH_CHUNKS (default 4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
+N_CHUNKS = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNKS", "2"))
+
+HEADLINE_QUERIES = [
+    "lww_latest_event",
+    "cdc_final_state",
+    "usage_agg",
+    "grouped_columns",
+    "search_doc_join",
+    "exact_dedup",
+    "minhash_lsh",
+    "embedding_topk",
+    "text_quality",
+    "cdc_replay_tables",
+]
+
+
+def _session(cores: int, app: str):
+    from amundsendatabuilder_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    spark = get_spark(app, master=f"local[{cores}]", shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _force(df) -> int:
+    """Fully materialize a DataFrame (noop sink — no driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _state_digest(df) -> str:
+    from pyspark.sql import functions as F
+
+    cols = sorted(c for c in df.columns if c not in ("publish_tag", "updated_ms"))
+    row = (
+        df.select(F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256).alias("h"))
+        .agg(F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")).alias("s"))
+        .first()
+    )
+    return str(row["s"])
+
+
+def run_replay(cores: int, chunks: list[str], tag: str) -> dict:
+    spark = _session(cores, f"bench-replay-{cores}")
+    from amundsendatabuilder_spark.sources.changelog import changelog_df
+    from amundsendatabuilder_spark.streaming.pipeline import CDCPipeline
+
+    # JIT warmup: run the full pipeline once on a small changelog so timed
+    # epochs measure steady-state throughput, not codegen compilation
+    warm_wh = tempfile.mkdtemp(prefix=f"bench_warm_{tag}_")
+    warm = CDCPipeline(spark, warm_wh, n_buckets=16)
+    warm.apply_batch(changelog_df(spark, 50_000, n_entities=5_000), 0)
+    shutil.rmtree(warm_wh, ignore_errors=True)
+
+    wh = tempfile.mkdtemp(prefix=f"bench_wh_{tag}_")
+    pipe = CDCPipeline(spark, wh, n_buckets=128)
+    t0 = time.time()
+    pipe.replay_batches(chunks)
+    wall = time.time() - t0
+    digest = _state_digest(pipe.repo_files.read())
+    n_final = pipe.repo_files.read().count()
+    spark.stop()
+    shutil.rmtree(wh, ignore_errors=True)
+    return {"cores": cores, "wall_sec": round(wall, 2), "digest": digest,
+            "final_rows": n_final}
+
+
+def main() -> None:
+    out: dict = {"sf": SF_DIR, "unit": "sec"}
+
+    # -- 1. headline queries at full parallelism --------------------------
+    spark = _session(CPUS, "bench-queries")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    qtimes: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        t0 = time.time()
+        _force(qs[name](spark, SF_DIR))
+        qtimes[name] = round(time.time() - t0, 3)
+
+    # -- 2. materialize the bench changelog (not timed) -------------------
+    from amundsendatabuilder_spark.sources.changelog import write_changelog_chunks
+
+    cl_dir = tempfile.mkdtemp(prefix="bench_cl_")
+    chunks = write_changelog_chunks(
+        spark, cl_dir, N_EVENTS, N_CHUNKS, n_entities=max(1000, N_EVENTS // 10)
+    )
+    spark.stop()
+
+    # -- 3. replay at 4N and N cores (same input) -------------------------
+    big = run_replay(CPUS, chunks, "4N")
+    small = run_replay(max(1, CPUS // 4), chunks, "N")
+
+    tput_big = N_EVENTS / big["wall_sec"]
+    tput_small = N_EVENTS / small["wall_sec"]
+    eff = tput_big / (4.0 * tput_small)
+    shutil.rmtree(cl_dir, ignore_errors=True)
+
+    out.update(
+        {
+            "metric": "cdc_replay_wall_sec_4N",
+            "value": big["wall_sec"],
+            "queries": qtimes,
+            "replay": {
+                "events": N_EVENTS,
+                "chunks": N_CHUNKS,
+                "cores_4N": big["cores"],
+                "cores_N": small["cores"],
+                "events_per_sec_4N": round(tput_big, 1),
+                "events_per_sec_N": round(tput_small, 1),
+                "scaling_efficiency_N_to_4N": round(eff, 3),
+                "digests_match_across_parallelism": big["digest"] == small["digest"],
+                "final_rows": big["final_rows"],
+            },
+        }
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

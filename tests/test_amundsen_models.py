@@ -1,0 +1,243 @@
+"""Golden parity: our model expansions must serialize to exactly the shapes
+the reference's own unit tests assert (expected dicts transcribed from
+/root/reference/tests/unit/models/test_table_metadata.py:36-120,
+test_watermark.py:39-75, test_table_owner.py:44-77)."""
+
+import pytest
+
+from amundsendatabuilder_spark.operators import amundsen_models as am
+
+
+def node_dicts(df):
+    out = []
+    for r in df.collect():
+        d = {"KEY": r["key"], "LABEL": r["label"]}
+        at = r["attr_types"] or {}
+        for k, v in (r["attributes"] or {}).items():
+            if at.get(k) == "int":
+                d[f"{k}:UNQUOTED"] = int(v)
+            elif at.get(k) == "bool":
+                d[f"{k}:UNQUOTED"] = v == "true"
+            else:
+                d[k] = v
+        out.append(d)
+    return out
+
+
+def rel_dicts(df):
+    out = []
+    for r in df.collect():
+        d = {
+            "START_KEY": r["start_key"], "START_LABEL": r["start_label"],
+            "END_KEY": r["end_key"], "END_LABEL": r["end_label"],
+            "TYPE": r["type"], "REVERSE_TYPE": r["reverse_type"],
+        }
+        at = r["attr_types"] or {}
+        for k, v in (r["attributes"] or {}).items():
+            if at.get(k) == "int":
+                d[f"{k}:UNQUOTED"] = int(v)
+            else:
+                d[k] = v
+        out.append(d)
+    return out
+
+
+@pytest.fixture(scope="module")
+def table_fixture(spark):
+    tables = spark.createDataFrame(
+        [("hive", "gold", "test_schema1", "test_table1", "test_table1", None, False, None)],
+        "database string, cluster string, schema string, name string, "
+        "description string, tags string, is_view boolean, description_source string",
+    )
+    cols = [
+        ("test_id1", "description of test_table1", "bigint", 0),
+        ("test_id2", "description of test_id2", "bigint", 1),
+        ("is_active", None, "boolean", 2),
+        ("source", "description of source", "varchar", 3),
+        ("etl_created_at", "description of etl_created_at", "timestamp", 4),
+        ("ds", None, "varchar", 5),
+    ]
+    columns = spark.createDataFrame(
+        [c + ("hive", "gold", "test_schema1", "test_table1") for c in cols],
+        "name string, description string, col_type string, sort_order int, "
+        "database string, cluster string, schema string, table_name string",
+    )
+    return tables, columns
+
+
+def test_table_metadata_nodes_golden(spark, table_fixture):
+    tables, columns = table_fixture
+    got = node_dicts(am.table_metadata_nodes(tables, columns))
+    # expected per reference test_table_metadata.py:36-70
+    expected = [
+        {"name": "test_table1", "KEY": "hive://gold.test_schema1/test_table1",
+         "LABEL": "Table", "is_view:UNQUOTED": False},
+        {"description": "test_table1",
+         "KEY": "hive://gold.test_schema1/test_table1/_description",
+         "LABEL": "Description", "description_source": "description"},
+        {"sort_order:UNQUOTED": 0, "type": "bigint", "name": "test_id1",
+         "KEY": "hive://gold.test_schema1/test_table1/test_id1", "LABEL": "Column"},
+        {"description": "description of test_table1",
+         "KEY": "hive://gold.test_schema1/test_table1/test_id1/_description",
+         "LABEL": "Description", "description_source": "description"},
+        {"sort_order:UNQUOTED": 1, "type": "bigint", "name": "test_id2",
+         "KEY": "hive://gold.test_schema1/test_table1/test_id2", "LABEL": "Column"},
+        {"description": "description of test_id2",
+         "KEY": "hive://gold.test_schema1/test_table1/test_id2/_description",
+         "LABEL": "Description", "description_source": "description"},
+        {"sort_order:UNQUOTED": 2, "type": "boolean", "name": "is_active",
+         "KEY": "hive://gold.test_schema1/test_table1/is_active", "LABEL": "Column"},
+        {"sort_order:UNQUOTED": 3, "type": "varchar", "name": "source",
+         "KEY": "hive://gold.test_schema1/test_table1/source", "LABEL": "Column"},
+        {"description": "description of source",
+         "KEY": "hive://gold.test_schema1/test_table1/source/_description",
+         "LABEL": "Description", "description_source": "description"},
+        {"sort_order:UNQUOTED": 4, "type": "timestamp", "name": "etl_created_at",
+         "KEY": "hive://gold.test_schema1/test_table1/etl_created_at", "LABEL": "Column"},
+        {"description": "description of etl_created_at",
+         "KEY": "hive://gold.test_schema1/test_table1/etl_created_at/_description",
+         "LABEL": "Description", "description_source": "description"},
+        {"sort_order:UNQUOTED": 5, "type": "varchar", "name": "ds",
+         "KEY": "hive://gold.test_schema1/test_table1/ds", "LABEL": "Column"},
+        {"name": "hive", "KEY": "database://hive", "LABEL": "Database"},
+        {"name": "gold", "KEY": "hive://gold", "LABEL": "Cluster"},
+        {"name": "test_schema1", "KEY": "hive://gold.test_schema1", "LABEL": "Schema"},
+    ]
+    for e in expected:
+        assert e in got, f"missing node {e}"
+    assert len(got) == len(expected)
+
+
+def test_table_metadata_relations_golden(spark, table_fixture):
+    tables, columns = table_fixture
+    got = rel_dicts(am.table_metadata_relations(tables, columns))
+    tk = "hive://gold.test_schema1/test_table1"
+    expected = [
+        {"START_KEY": "hive://gold.test_schema1", "START_LABEL": "Schema",
+         "END_KEY": tk, "END_LABEL": "Table", "TYPE": "TABLE", "REVERSE_TYPE": "TABLE_OF"},
+        {"START_KEY": tk, "START_LABEL": "Table", "END_KEY": f"{tk}/_description",
+         "END_LABEL": "Description", "TYPE": "DESCRIPTION", "REVERSE_TYPE": "DESCRIPTION_OF"},
+        {"START_KEY": "database://hive", "START_LABEL": "Database", "END_KEY": "hive://gold",
+         "END_LABEL": "Cluster", "TYPE": "CLUSTER", "REVERSE_TYPE": "CLUSTER_OF"},
+        {"START_KEY": "hive://gold", "START_LABEL": "Cluster",
+         "END_KEY": "hive://gold.test_schema1", "END_LABEL": "Schema",
+         "TYPE": "SCHEMA", "REVERSE_TYPE": "SCHEMA_OF"},
+    ]
+    for col in ["test_id1", "test_id2", "is_active", "source", "etl_created_at", "ds"]:
+        expected.append(
+            {"START_KEY": tk, "START_LABEL": "Table", "END_KEY": f"{tk}/{col}",
+             "END_LABEL": "Column", "TYPE": "COLUMN", "REVERSE_TYPE": "COLUMN_OF"}
+        )
+    for col in ["test_id1", "test_id2", "source", "etl_created_at"]:
+        expected.append(
+            {"START_KEY": f"{tk}/{col}", "START_LABEL": "Column",
+             "END_KEY": f"{tk}/{col}/_description", "END_LABEL": "Description",
+             "TYPE": "DESCRIPTION", "REVERSE_TYPE": "DESCRIPTION_OF"}
+        )
+    for e in expected:
+        assert e in got, f"missing rel {e}"
+    assert len(got) == len(expected)
+
+
+def test_watermark_golden(spark):
+    wm = spark.createDataFrame(
+        [("2017-09-18T00:00:00", "DYNAMO", "BASE", "TEST",
+          "ds=2017-09-18/feature_id=9", "LOW_WATERMARK", "DEFAULT")],
+        "create_time string, database string, schema string, table_name string, "
+        "part_name string, part_type string, cluster string",
+    )
+    nodes = node_dicts(am.watermark_nodes(wm))
+    rels = rel_dicts(am.watermark_relations(wm))
+    start_key = "DYNAMO://DEFAULT.BASE/TEST/LOW_WATERMARK/"
+    assert nodes == [{
+        "KEY": start_key, "LABEL": "Watermark",
+        "partition_key": "ds", "partition_value": "2017-09-18/feature_id=9",
+        "create_time": "2017-09-18T00:00:00",
+    }]
+    assert rels == [{
+        "START_KEY": start_key, "START_LABEL": "Watermark",
+        "END_KEY": "DYNAMO://DEFAULT.BASE/TEST", "END_LABEL": "Table",
+        "TYPE": "BELONG_TO_TABLE", "REVERSE_TYPE": "WATERMARK",
+    }]
+
+
+def test_table_owner_golden(spark):
+    owners = spark.createDataFrame(
+        [("hive", "test_schema", "default", "test_table", "user1@gmail.com, user2@gmail.com")],
+        "db_name string, schema string, cluster string, table_name string, owners string",
+    )
+    nodes = node_dicts(am.table_owner_nodes(owners))
+    rels = rel_dicts(am.table_owner_relations(owners))
+    tk = "hive://default.test_schema/test_table"
+    for email in ["user1@gmail.com", "user2@gmail.com"]:
+        assert {"KEY": email, "LABEL": "User", "email": email} in nodes
+        assert {
+            "START_KEY": email, "START_LABEL": "User", "END_KEY": tk,
+            "END_LABEL": "Table", "TYPE": "OWNER_OF", "REVERSE_TYPE": "OWNER",
+        } in rels
+    assert len(nodes) == 2 and len(rels) == 2
+
+
+def test_column_usage_golden(spark):
+    usage = spark.createDataFrame(
+        [("hive", "gold", "scm", "tbl", "*", "john@example.com", 100)],
+        "database string, cluster string, schema string, table_name string, "
+        "column_name string, user_email string, read_count int",
+    )
+    rels = rel_dicts(am.column_usage_relations(usage))
+    assert rels == [{
+        "START_KEY": "hive://gold.scm/tbl", "START_LABEL": "Table",
+        "END_KEY": "john@example.com", "END_LABEL": "User",
+        "TYPE": "READ", "REVERSE_TYPE": "READ_BY", "read_count:UNQUOTED": 100,
+    }]
+
+
+def test_badge_and_source_and_last_updated(spark):
+    badges = spark.createDataFrame(
+        [("Beta", "table_status", "hive", "gold", "scm", "tbl")],
+        "name string, category string, database string, cluster string, schema string, table_name string",
+    )
+    assert node_dicts(am.badge_nodes(badges)) == [
+        {"KEY": "beta", "LABEL": "Badge", "category": "table_status"}
+    ]
+    assert rel_dicts(am.badge_relations(badges, start_label="Table")) == [{
+        "START_KEY": "hive://gold.scm/tbl", "START_LABEL": "Table",
+        "END_KEY": "beta", "END_LABEL": "Badge",
+        "TYPE": "HAS_BADGE", "REVERSE_TYPE": "BADGE_FOR",
+    }]
+
+    srcs = spark.createDataFrame(
+        [("hive", "scm", "gold", "tbl", "/etl/repo.py", "github")],
+        "db_name string, schema string, cluster string, table_name string, source string, source_type string",
+    )
+    assert node_dicts(am.table_source_nodes(srcs)) == [{
+        "KEY": "hive://gold.scm/tbl/_source", "LABEL": "Source",
+        "source": "/etl/repo.py", "source_type": "github",
+    }]
+
+    lu = spark.createDataFrame(
+        [("gold", "hive", "scm", "tbl", 160000000)],
+        "cluster string, db string, schema string, table_name string, last_updated_time_epoch long",
+    )
+    assert node_dicts(am.table_last_updated_nodes(lu)) == [{
+        "KEY": "hive://gold.scm/tbl/timestamp", "LABEL": "Timestamp",
+        "last_updated_timestamp:UNQUOTED": 160000000,
+        "timestamp:UNQUOTED": 160000000,
+        "name": "last_updated_timestamp",
+    }]
+    assert rel_dicts(am.table_last_updated_relations(lu)) == [{
+        "START_KEY": "hive://gold.scm/tbl", "START_LABEL": "Table",
+        "END_KEY": "hive://gold.scm/tbl/timestamp", "END_LABEL": "Timestamp",
+        "TYPE": "LAST_UPDATED_AT", "REVERSE_TYPE": "LAST_UPDATED_TIME_OF",
+    }]
+
+
+def test_lineage_regex_skips_invalid(spark):
+    ln = spark.createDataFrame(
+        [("hive://gold.scm/tbl", "hive://gold.scm/tbl2, not-a-key, hive://gold.scm/tbl3")],
+        "source_table_key string, downstream_deps string",
+    )
+    rels = rel_dicts(am.table_lineage_relations(ln))
+    ends = {r["END_KEY"] for r in rels}
+    assert ends == {"hive://gold.scm/tbl2", "hive://gold.scm/tbl3"}
+    assert all(r["TYPE"] == "UPSTREAM" and r["REVERSE_TYPE"] == "DOWNSTREAM" for r in rels)

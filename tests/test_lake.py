@@ -113,3 +113,27 @@ def test_cow_only_touched_buckets(spark, warehouse):
     after = t.current().files
     unchanged = [b for b in before if before[b] == after.get(b)]
     assert len(unchanged) == len(before) - 1  # only one bucket rewritten
+
+
+def test_merge_strategies_equivalent(spark, warehouse):
+    """bucketed (1-shuffle pandas reducer) == join (full-outer) state."""
+    lake = SnapshotLake(spark, warehouse)
+    for strat in ("bucketed", "join"):
+        t = lake.create_table(f"t_{strat}", SCHEMA, ["key"], n_buckets=8)
+        t.merge_upsert(
+            spark.createDataFrame([(f"k{i}", "A", i) for i in range(50)], SCHEMA),
+            0, strategy=strat,
+        )
+        batch = spark.createDataFrame(
+            [(f"k{i}", "B", i * 10, i % 3 == 0) for i in range(30, 70)],
+            T.StructType(SCHEMA.fields + [T.StructField("d", T.BooleanType())]),
+        )
+        m = t.merge_upsert(batch, 1, delete_col="d", strategy=strat)
+        assert m["rows_seen"] == 40
+    a = {r["key"]: (r["name"], r["v"], r["publish_tag"]) for r in lake.table("t_bucketed").read().collect()}
+    b = {r["key"]: (r["name"], r["v"], r["publish_tag"]) for r in lake.table("t_join").read().collect()}
+    assert a == b
+    ma = lake.table("t_bucketed").current().metrics
+    mb = lake.table("t_join").current().metrics
+    for k in ("rows_inserted", "rows_updated", "rows_deleted"):
+        assert ma[k] == mb[k], (k, ma, mb)
