@@ -331,7 +331,7 @@ def q_cdc_replay_tables(spark, sf_dir):
     MERGE → final repo_files state. Oracle recomputes the same final state
     declaratively."""
     pipe = _run_cdc(spark, sf_dir)
-    return pipe.repo_files.read().select(
+    return pipe.current_entities().select(
         "repo", "path", "commit", "content_sha256",
         F.col("last_updated_epoch").alias("last_updated_epoch"),
     )

@@ -301,7 +301,30 @@ class SnapshotTable:
         publish_tag: str | None = None,
         strategy: str = "join",
     ) -> dict[str, Any]:
-        """Idempotent keyed upsert of one micro-batch.
+        """Idempotent keyed upsert of one micro-batch: prepare + commit."""
+        prep = self.prepare_upsert(
+            batch, epoch_id, channel, delete_col, create_only_col, publish_tag,
+            strategy,
+        )
+        if prep is None:
+            return {"skipped_epoch": epoch_id, "channel": channel}
+        return self.commit_prepared(prep)
+
+    def prepare_upsert(
+        self,
+        batch: DataFrame,
+        epoch_id: int,
+        channel: str = "default",
+        delete_col: str | None = None,
+        create_only_col: str | None = None,
+        publish_tag: str | None = None,
+        strategy: str = "join",
+    ) -> dict[str, Any] | None:
+        """Heavy phase of the upsert: compute + write the new data files.
+        Thread-safe across DIFFERENT tables — the pipeline prepares all four
+        graph tables concurrently (one Spark job wave instead of four serial
+        chains), then commits manifests in dependency order. Returns None if
+        the epoch is already applied.
 
         ``batch`` must be unique per key (LWW-dedup upstream — MERGE forbids
         multi-match, same as Iceberg). ``delete_col``: boolean column, true ⇒
@@ -324,7 +347,7 @@ class SnapshotTable:
         """
         snap = self.current()
         if snap.epochs.get(channel, -1) >= epoch_id:
-            return {"skipped_epoch": epoch_id, "channel": channel}
+            return None
 
         keys = snap.key_cols
         service_cols = {c for c in (delete_col, create_only_col) if c}
@@ -415,20 +438,38 @@ class SnapshotTable:
         }
         epochs = dict(snap.epochs)
         epochs[channel] = epoch_id
-        # strip partition column from persisted schema bookkeeping
+        return {
+            "base_version": snap.version,
+            "schema_json": json.dumps(new_schema.jsonValue()),
+            "key_cols": keys,
+            "n_buckets": snap.n_buckets,
+            "files": files,
+            "epochs": epochs,
+            "metrics": metrics,
+        }
+
+    def commit_prepared(self, prep: dict[str, Any]) -> dict[str, Any]:
+        """Cheap phase: atomically publish a prepared merge (manifest write +
+        pointer swap). Must be called in pipeline dependency order."""
+        snap = self.current()
+        if snap.version != prep["base_version"]:
+            raise RuntimeError(
+                f"concurrent commit detected on {self.root}: base "
+                f"{prep['base_version']} != current {snap.version}"
+            )
         self._commit(
             Snapshot(
                 version=snap.version + 1,
-                schema_json=json.dumps(new_schema.jsonValue()),
-                key_cols=keys,
-                n_buckets=snap.n_buckets,
-                files=files,
-                epochs=epochs,
-                metrics=metrics,
+                schema_json=prep["schema_json"],
+                key_cols=prep["key_cols"],
+                n_buckets=prep["n_buckets"],
+                files=prep["files"],
+                epochs=prep["epochs"],
+                metrics=prep["metrics"],
                 parent=snap.version,
             )
         )
-        return metrics
+        return prep["metrics"]
 
     # ---- delete (staleness path) ----------------------------------------
 

@@ -83,9 +83,14 @@ class CDCPipeline:
 
         from amundsendatabuilder_spark.operators.extract import extract_entities as _x
 
-        entity_schema = _x(
-            spark.createDataFrame([], CHANGELOG_SCHEMA), cluster
-        ).drop("op", "shard", "event_id").schema
+        import pyspark.sql.types as T
+
+        entity_schema = T.StructType(
+            _x(spark.createDataFrame([], CHANGELOG_SCHEMA), cluster)
+            .drop("op", "shard", "event_id")
+            .schema.fields
+            + [T.StructField("is_deleted", T.BooleanType())]
+        )
         self.repo_files = self.lake.create_table(
             "repo_files", entity_schema, ENTITY_KEYS, n_buckets=n_buckets
         )
@@ -118,8 +123,38 @@ class CDCPipeline:
         winners = winners.localCheckpoint(eager=True)  # cut lineage; reused 4×
         mark("dedup+ckpt")
 
-        upserts = winners.where(F.col("op") != "delete")
-        deletes = winners.where(F.col("op") == "delete").select("repo", "path")
+        # current state for the touched keys — INCLUDING tombstones: a
+        # deleted entity must keep winning against late stale events
+        old_all = self.repo_files.read_for_keys(
+            winners.select(*ENTITY_KEYS)
+        ).localCheckpoint(eager=True)
+        mark("old_state+ckpt")
+
+        # cross-batch LWW gate (north rule): a batch row takes effect ONLY if
+        # its (event_ts, commit) beats the stored row's — batches may arrive
+        # with older events after newer ones (file ordering, replays, multi
+        # source), and an unconditional MERGE would resurrect stale state
+        old_ord = old_all.select(
+            *ENTITY_KEYS,
+            F.col("event_ts").alias("__old_ts"),
+            F.col("commit").alias("__old_commit"),
+        )
+        effective = (
+            winners.join(old_ord, ENTITY_KEYS, "left")
+            .where(
+                F.col("__old_ts").isNull()
+                | (
+                    F.struct(F.col("event_ts"), F.col("commit"))
+                    > F.struct(F.col("__old_ts"), F.col("__old_commit"))
+                )
+            )
+            .drop("__old_ts", "__old_commit")
+        )
+
+        upserts = effective.where(F.col("op") != "delete")
+        deletes = effective.where(F.col("op") == "delete").select(
+            "repo", "path", "commit", "event_ts"
+        )
 
         # each entity frame feeds 3 expansions (nodes/rels/docs) + diffs —
         # materialize once, expansions become cheap narrow projections
@@ -129,10 +164,13 @@ class CDCPipeline:
             .localCheckpoint(eager=True)
         )
         mark("extract+ckpt")
-        old_entities = self.repo_files.read_for_keys(
-            winners.select(*ENTITY_KEYS)
-        ).localCheckpoint(eager=True)
-        mark("old_state+ckpt")
+        # diffs only for keys whose state actually changes; active rows only
+        old_entities = (
+            old_all.where(~F.col("is_deleted"))
+            .join(effective.select(*ENTITY_KEYS), ENTITY_KEYS, "left_semi")
+            .drop("is_deleted")
+            .localCheckpoint(eager=True)
+        )
 
         new_nodes = validate_nodes(nodes_from_entities(new_entities))
         new_rels = validate_relations(relations_from_entities(new_entities))
@@ -166,22 +204,11 @@ class CDCPipeline:
                 else F.lit(False),
             )
         )
-        m_nodes = self.graph_nodes.merge_upsert(
-            node_batch, epoch_id, channel="cdc", delete_col="__delete",
-            create_only_col="__create_only", publish_tag=tag,
-        )
-        mark("merge_nodes")
-
         rel_batch = (
             new_rels.drop("scope_key")
             .withColumn("__delete", F.lit(False))
             .unionByName(rel_dels, allowMissingColumns=True)
         )
-        m_rels = self.graph_relations.merge_upsert(
-            rel_batch, epoch_id, channel="cdc", delete_col="__delete", publish_tag=tag
-        )
-        mark("merge_rels")
-
         doc_dels = deletes.select(
             K.table_key(F.col("repo"), F.col("path"), self.cluster).alias("key")
         ).withColumn("__delete", F.lit(True))
@@ -190,19 +217,50 @@ class CDCPipeline:
             .withColumn("__delete", F.lit(False))
             .unionByName(doc_dels, allowMissingColumns=True)
         )
-        m_docs = self.search_documents.merge_upsert(
-            doc_batch, epoch_id, channel="cdc", delete_col="__delete", publish_tag=tag
+        # entity table keeps TOMBSTONES: a delete is an upsert of
+        # (key, event_ts, commit, is_deleted=true) so the LWW gate keeps
+        # holding against late stale events; vacuum_tombstones() reclaims
+        # them once older than the lateness bound
+        entity_batch = new_entities.withColumn("is_deleted", F.lit(False)).unionByName(
+            deletes.withColumn("is_deleted", F.lit(True)), allowMissingColumns=True
         )
-        mark("merge_docs")
 
-        # entity table LAST — the commit marker for the whole epoch
-        entity_batch = new_entities.withColumn("__delete", F.lit(False)).unionByName(
-            deletes.withColumn("__delete", F.lit(True)), allowMissingColumns=True
-        )
-        m_ent = self.repo_files.merge_upsert(
-            entity_batch, epoch_id, channel="cdc", delete_col="__delete", publish_tag=tag
-        )
-        mark("merge_entities")
+        # prepare all four merges CONCURRENTLY (one wave of Spark jobs — the
+        # serial chain of four merge pipelines left most cores idle), then
+        # commit manifests strictly in dependency order: derived tables
+        # first, entity table LAST as the epoch commit marker (exactly-once).
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = {
+            "nodes": (self.graph_nodes, node_batch,
+                      {"delete_col": "__delete", "create_only_col": "__create_only"}),
+            "rels": (self.graph_relations, rel_batch, {"delete_col": "__delete"}),
+            "docs": (self.search_documents, doc_batch, {"delete_col": "__delete"}),
+            "entities": (self.repo_files, entity_batch, {}),
+        }
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            futs = {
+                name: ex.submit(
+                    tbl.prepare_upsert, b, epoch_id,
+                    channel="cdc", publish_tag=tag, **kw,
+                )
+                for name, (tbl, b, kw) in jobs.items()
+            }
+            preps = {name: f.result() for name, f in futs.items()}
+        mark("prepare_all")
+
+        def _commit(name: str) -> dict:
+            tbl = jobs[name][0]
+            p = preps[name]
+            if p is None:
+                return {"skipped_epoch": epoch_id, "channel": "cdc"}
+            return tbl.commit_prepared(p)
+
+        m_nodes = _commit("nodes")
+        m_rels = _commit("rels")
+        m_docs = _commit("docs")
+        m_ent = _commit("entities")
+        mark("commit_all")
 
         metrics = {
             "epoch": epoch_id,
@@ -215,6 +273,23 @@ class CDCPipeline:
         with open(os.path.join(self.metrics_dir, f"epoch_{epoch_id}.json"), "w") as f:
             json.dump(metrics, f, sort_keys=True)
         return metrics
+
+    # -- reads / maintenance ------------------------------------------------
+
+    def current_entities(self) -> DataFrame:
+        """Live (non-tombstoned) entity rows — the user-facing final state."""
+        return self.repo_files.read().where(~F.col("is_deleted"))
+
+    def vacuum_tombstones(self, older_than_ms: int) -> dict:
+        """Physically drop delete tombstones whose last update is older than
+        the out-of-orderness bound (safe: no event older than the bound can
+        still arrive). The CDC analogue of the staleness expiry window."""
+        import time as _t
+
+        cutoff = int(_t.time() * 1000) - older_than_ms
+        return self.repo_files.delete_where(
+            F.col("is_deleted") & (F.col("updated_ms") < cutoff)
+        )
 
     # -- runners ------------------------------------------------------------
 

@@ -100,6 +100,10 @@ def run_replay(cores: int, chunks: list[str], tag: str) -> dict:
             "final_rows": n_final}
 
 
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main() -> None:
     out: dict = {"sf": SF_DIR, "unit": "sec"}
 
@@ -113,19 +117,24 @@ def main() -> None:
         t0 = time.time()
         _force(qs[name](spark, SF_DIR))
         qtimes[name] = round(time.time() - t0, 3)
+        _log(f"query {name}: {qtimes[name]}s")
 
     # -- 2. materialize the bench changelog (not timed) -------------------
     from amundsendatabuilder_spark.sources.changelog import write_changelog_chunks
 
     cl_dir = tempfile.mkdtemp(prefix="bench_cl_")
+    t0 = time.time()
     chunks = write_changelog_chunks(
         spark, cl_dir, N_EVENTS, N_CHUNKS, n_entities=max(1000, N_EVENTS // 10)
     )
     spark.stop()
+    _log(f"changelog gen ({N_EVENTS} events): {round(time.time() - t0, 1)}s")
 
     # -- 3. replay at 4N and N cores (same input) -------------------------
     big = run_replay(CPUS, chunks, "4N")
+    _log(f"replay 4N ({big['cores']} cores): {big['wall_sec']}s")
     small = run_replay(max(1, CPUS // 4), chunks, "N")
+    _log(f"replay N ({small['cores']} cores): {small['wall_sec']}s")
 
     tput_big = N_EVENTS / big["wall_sec"]
     tput_small = N_EVENTS / small["wall_sec"]

@@ -35,7 +35,7 @@ def test_e2e_replay_matches_expected(spark, tmp_path, chunks):
     metrics = pipe.replay_batches(paths)
     assert all("skipped" not in m for m in metrics)
 
-    got = pipe.repo_files.read()
+    got = pipe.current_entities()
     exp = expected_final_state(changelog_df(spark, N_EVENTS, n_entities=N_ENTITIES))
     g = {(r["repo"], r["path"]): (r["commit"], r["content"]) for r in got.collect()}
     e = {(r["repo"], r["path"]): (r["commit"], r["content"]) for r in exp.collect()}
@@ -50,7 +50,7 @@ def test_e2e_replay_matches_expected(spark, tmp_path, chunks):
     tkeys = {r["key"] for r in nodes.where("label='Table'").collect()}
     assert tkeys == {f"repofs://gold.{k[0]}/{k[1]}" for k in e}
     # column nodes match the functions of the winning version
-    ent = {r["table_key"]: set(r["functions"]) for r in pipe.repo_files.read().collect()}
+    ent = {r["table_key"]: set(r["functions"]) for r in pipe.current_entities().collect()}
     colkeys = {}
     for r in nodes.where("label='Column'").collect():
         parent, fn = r["key"].rsplit("/", 1)
@@ -95,14 +95,14 @@ def test_crash_between_table_commits_heals(spark, tmp_path, chunks):
 
     crashy = CDCPipeline(spark, str(tmp_path / "crashy"), n_buckets=16)
     crashy.replay_batches(paths[:2])
-    # crash epoch 2 after nodes+relations commit, before docs/entity commit
-    orig = crashy.search_documents.merge_upsert
+    # crash epoch 2 after nodes+relations COMMIT, before docs/entity commit
+    orig = crashy.search_documents.commit_prepared
     def boom(*a, **k):
         raise RuntimeError("simulated crash")
-    crashy.search_documents.merge_upsert = boom
+    crashy.search_documents.commit_prepared = boom
     with pytest.raises(RuntimeError, match="simulated crash"):
         crashy.replay_batches([paths[2]], start_epoch=2)
-    crashy.search_documents.merge_upsert = orig
+    crashy.search_documents.commit_prepared = orig
     # replay the same epoch + the rest — must converge to the clean state
     crashy.replay_batches(paths[2:], start_epoch=2)
     got = [state_digest(t.read(), exclude=("updated_ms",)) for t in
@@ -131,7 +131,7 @@ def test_streaming_resume_from_checkpoint(spark, tmp_path, chunks):
         land(p)
     q = pipe.run_stream(str(src), ckpt, max_files_per_trigger=4)
     q.awaitTermination()
-    mid = pipe.repo_files.read().count()
+    mid = pipe.current_entities().count()
     assert mid > 0
 
     # phase 2: rest of the backlog arrives; resume from the same checkpoint
@@ -141,6 +141,23 @@ def test_streaming_resume_from_checkpoint(spark, tmp_path, chunks):
     q.awaitTermination()
 
     exp = expected_final_state(changelog_df(spark, N_EVENTS, n_entities=N_ENTITIES))
-    g = {(r["repo"], r["path"]): r["commit"] for r in pipe.repo_files.read().collect()}
+    g = {(r["repo"], r["path"]): r["commit"] for r in pipe.current_entities().collect()}
+    e = {(r["repo"], r["path"]): r["commit"] for r in exp.collect()}
+    assert g == e
+
+
+def test_cross_epoch_out_of_order_replay(spark, tmp_path, chunks):
+    """LWW must hold ACROSS micro-batches: replaying the chunks in reverse
+    order (oldest events arriving last) converges to the same final state."""
+    paths, _ = chunks
+    fwd = CDCPipeline(spark, str(tmp_path / "fwd"), n_buckets=16)
+    fwd.replay_batches(paths)
+    rev = CDCPipeline(spark, str(tmp_path / "rev"), n_buckets=16)
+    rev.replay_batches(list(reversed(paths)))
+    dig = lambda p: state_digest(p.current_entities())
+    assert dig(fwd) == dig(rev)
+    # and both equal the declarative ground truth
+    exp = expected_final_state(changelog_df(spark, N_EVENTS, n_entities=N_ENTITIES))
+    g = {(r["repo"], r["path"]): r["commit"] for r in rev.current_entities().collect()}
     e = {(r["repo"], r["path"]): r["commit"] for r in exp.collect()}
     assert g == e
