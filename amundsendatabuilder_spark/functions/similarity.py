@@ -140,32 +140,49 @@ def lsh_bucket_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_bands: int = 8,
+    planes_per_band: int = 3,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: score only (query, corpus) pairs that share an LSH
-    bucket. Recall grows with fewer planes / multi-probe; this is the
-    bucketed-join scale shape (corpus shuffled once on bucket)."""
-    planes = make_planes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity_col(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+    """Approximate top-k via multi-band random-hyperplane LSH: a (query,
+    corpus) pair is scored iff it shares ANY band's bucket (OR-amplification
+    — recall ≈ 1−(1−p^r)^b). The corpus is shuffled once on (band, bucket);
+    at scale this replaces the O(corpus × queries) cross product with
+    posting-list joins, the bucketed-ANN shape (IVF-like)."""
+    c_sides, q_sides = [], []
+    for band in range(n_bands):
+        planes = make_planes(dim, planes_per_band, seed + band * 1000)
+        c_sides.append(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+                F.lit(band).alias("band"),
+                hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+            )
         )
+        q_sides.append(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"),
+                F.lit(band).alias("band"),
+                hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+            )
+        )
+    import functools
+
+    c = functools.reduce(lambda a, b: a.unionByName(b), c_sides)
+    q = functools.reduce(lambda a, b: a.unionByName(b), q_sides)
+    cand = (
+        c.join(F.broadcast(q), ["band", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity_col(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

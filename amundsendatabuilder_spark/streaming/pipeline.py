@@ -73,10 +73,18 @@ class CDCPipeline:
         n_buckets: int = 64,
         cluster: str = K.CLUSTER,
         create_only_labels: tuple[str, ...] = (),
+        parallel_prepare: bool | None = None,
     ):
         self.spark = spark
         self.cluster = cluster
         self.create_only_labels = create_only_labels
+        # concurrent prepares help when executors outnumber one job's tasks
+        # (real clusters); in local single-JVM mode they contend — default off
+        self.parallel_prepare = (
+            parallel_prepare
+            if parallel_prepare is not None
+            else os.environ.get("SPARK_CDC_PARALLEL_PREPARE", "") == "1"
+        )
         self.lake = SnapshotLake(spark, warehouse)
         self.metrics_dir = os.path.join(warehouse, "_metrics")
         os.makedirs(self.metrics_dir, exist_ok=True)
@@ -238,15 +246,23 @@ class CDCPipeline:
             "docs": (self.search_documents, doc_batch, {"delete_col": "__delete"}),
             "entities": (self.repo_files, entity_batch, {}),
         }
-        with ThreadPoolExecutor(max_workers=4) as ex:
-            futs = {
-                name: ex.submit(
-                    tbl.prepare_upsert, b, epoch_id,
-                    channel="cdc", publish_tag=tag, **kw,
+        if self.parallel_prepare:
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                futs = {
+                    name: ex.submit(
+                        tbl.prepare_upsert, b, epoch_id,
+                        channel="cdc", publish_tag=tag, **kw,
+                    )
+                    for name, (tbl, b, kw) in jobs.items()
+                }
+                preps = {name: f.result() for name, f in futs.items()}
+        else:
+            preps = {
+                name: tbl.prepare_upsert(
+                    b, epoch_id, channel="cdc", publish_tag=tag, **kw
                 )
                 for name, (tbl, b, kw) in jobs.items()
             }
-            preps = {name: f.result() for name, f in futs.items()}
         mark("prepare_all")
 
         def _commit(name: str) -> dict:

@@ -1,0 +1,172 @@
+"""Operator-library tests: dedup family agreement, similarity recall,
+transformers, staleness guard."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    for i in range(40):
+        rows.append((i, base + f" variant {i}"))                  # near-dups of base
+    rows.append((100, base + " variant 7"))                        # exact dup of 7
+    rows.append((101, "completely different content about spark shuffles and joins"))
+    rows.append((102, "Completely  DIFFERENT content about spark shuffles and joins!"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    from amundsendatabuilder_spark.functions.dedup import exact_dedup, exact_duplicates
+
+    groups = exact_duplicates(docs).collect()
+    sizes = {r["keep_id"]: r["dup_count"] for r in groups}
+    assert sizes[7] == 2          # 7 and 100 identical
+    assert sizes[101] == 2        # 101/102 identical after normalization
+    kept = exact_dedup(docs)
+    assert kept.count() == docs.count() - 2
+    assert kept.where("doc_id in (100, 102)").count() == 0
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    from amundsendatabuilder_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_posting=10**9).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(docs, k=64, bands=16).collect()
+    }
+    # high-jaccard pairs must be found by LSH, estimates within 0.25
+    found = sum(1 for p in exact if p in cand)
+    assert found / len(exact) > 0.9
+    for p, est in cand.items():
+        if p in exact:
+            assert abs(est - exact[p]) < 0.25
+
+
+def test_simhash_near_pairs(spark, docs):
+    from amundsendatabuilder_spark.functions.dedup import simhash_near_pairs
+
+    pairs = simhash_near_pairs(docs, max_hamming=10).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (7, 100) in ids  # identical docs → hamming 0
+    for r in pairs:
+        if (r["id_a"], r["id_b"]) == (7, 100):
+            assert r["hamming"] == 0
+
+
+def test_cosine_topk_variants_agree(spark):
+    from amundsendatabuilder_spark.functions.similarity import (
+        cosine_topk_arrow,
+        cosine_topk_bruteforce,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    a = cosine_topk_bruteforce(emb, q, k=3).collect()
+    qp = q.toPandas()
+    b = cosine_topk_arrow(emb, qp, k=3).collect()
+    am = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in a}
+    bm = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in b}
+    assert am == bm
+
+
+def test_lsh_bucket_topk_recall(spark):
+    from amundsendatabuilder_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        lsh_bucket_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(emb, q, k=1).collect()
+    approx = lsh_bucket_topk(emb, q, k=1, n_bands=8, planes_per_band=3, dim=64).collect()
+    exact_nn = {r["query_id"]: r["neighbor_id"] for r in exact}
+    approx_nn = {r["query_id"]: r["neighbor_id"] for r in approx}
+    hits = sum(1 for k, v in approx_nn.items() if exact_nn.get(k) == v)
+    assert hits / len(exact_nn) >= 0.6  # recall@1, 8 bands × 3 planes
+
+
+def test_transformers(spark):
+    from amundsendatabuilder_spark.operators import transformers as tr
+
+    df = spark.createDataFrame(
+        [("a.b", "2017-09-18T00:00:00.000Z", "x,y"), ("c.d", "not-a-date", "z")],
+        "name string, ts string, tags string",
+    )
+    out = tr.chain(
+        tr.literal_replace(["name"], ".", "_"),
+        tr.timestamp_to_epoch("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+    )(df)
+    rows = {r["name"]: r["ts"] for r in out.collect()}
+    assert rows["a_b"] == 1505692800
+    assert rows["c_d"] == 0  # parse failure → 0 (reference behavior)
+
+    t = tr.template_substitute("key", "{db}://{cluster}", ["db", "cluster"])(
+        spark.createDataFrame([("hive", "gold")], "db string, cluster string")
+    )
+    assert t.first()["key"] == "hive://gold"
+
+    tagged = tr.add_tags("tag_list", [" NEW "])(
+        spark.createDataFrame([(["old"],)], "tag_list array<string>")
+    )
+    assert tagged.first()["tag_list"] == ["old", "new"]
+
+
+def test_staleness_guard(spark, warehouse):
+    from amundsendatabuilder_spark.operators.staleness import (
+        remove_stale_nodes,
+    )
+    from amundsendatabuilder_spark.plans.lake import SnapshotLake
+
+    lake = SnapshotLake(spark, warehouse)
+    schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("label", T.StringType()),
+    ])
+    t = lake.create_table("nodes", schema, ["key"], n_buckets=4)
+    old = spark.createDataFrame([(f"k{i}", "Table") for i in range(10)], schema)
+    t.merge_upsert(old, 0, publish_tag="old_tag")
+    new = spark.createDataFrame([(f"k{i}", "Table") for i in range(8)], schema)
+    t.merge_upsert(new, 1, publish_tag="current")
+
+    # 2 of 10 Table nodes stale = 20% ≥ default 5% → guard trips
+    with pytest.raises(RuntimeError, match="staleness guard"):
+        remove_stale_nodes(t, current_tag="current")
+    # explicit per-label override admits the delete
+    m = remove_stale_nodes(t, current_tag="current", per_label_pct={"Table": 0.5})
+    assert m["rows_deleted"] == 2
+    assert t.read().count() == 8
+    # expiry shorter than the 24h minimum is rejected
+    with pytest.raises(ValueError, match="minimum"):
+        remove_stale_nodes(t, ms_to_expire=1000)
+
+
+def test_multimodal_plumbing(spark):
+    from amundsendatabuilder_spark.operators.multimodal import (
+        extract_image_features,
+        frame_sample_plan,
+        media_dedup_by_content,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, n=30)
+    assert media.count() == 30
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 10  # ids % 3 == 0
+    for r in feats:
+        assert 64 <= r["width"] < 256 and r["n_channels"] == 3
+        assert len(r["embedding"]) == 16
+        assert len(r["payload_sha256"]) == 64
+    plan = frame_sample_plan(media, every_n_sec=1)
+    assert plan.count() > 0
+    dd = media_dedup_by_content(media)
+    assert dd.count() == 30  # all payloads distinct by construction
