@@ -1,0 +1,79 @@
+"""spark-submit entrypoint for the CDC engine.
+
+Usage (north_rule packaging: ``spark-submit --py-files``):
+
+    zip -r engine.zip amundsendatabuilder_spark/
+    spark-submit --py-files engine.zip -m ... amundsendatabuilder_spark/job.py \
+        --warehouse /data/warehouse --source /data/changelog \
+        --checkpoint /data/ckpt [--stream | --batch] [--buckets 4096]
+
+Batch mode replays parquet chunk dirs as one epoch each; stream mode runs the
+Structured Streaming file source with ``availableNow`` (drain + stop) or
+continuously with ``--follow``. A synthetic changelog can be generated with
+``--generate N`` for load testing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="PySpark CDC ingest engine")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--source", help="changelog parquet dir (stream/batch input)")
+    p.add_argument("--checkpoint", help="streaming checkpoint dir")
+    p.add_argument("--buckets", type=int, default=4096)
+    p.add_argument("--cluster", default="gold")
+    p.add_argument("--stream", action="store_true")
+    p.add_argument("--follow", action="store_true",
+                   help="stream continuously instead of availableNow")
+    p.add_argument("--max-files-per-trigger", type=int, default=16)
+    p.add_argument("--generate", type=int, default=0,
+                   help="generate N synthetic changelog events into --source")
+    p.add_argument("--chunks", type=int, default=8)
+    p.add_argument("--vacuum-tombstones-ms", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("cdc-ingest").getOrCreate()
+    from amundsendatabuilder_spark.sources.changelog import write_changelog_chunks
+    from amundsendatabuilder_spark.streaming.pipeline import CDCPipeline
+
+    if args.generate:
+        paths = write_changelog_chunks(
+            spark, args.source, args.generate, args.chunks
+        )
+        print(json.dumps({"generated_chunks": paths}))
+        return 0
+
+    pipe = CDCPipeline(
+        spark, args.warehouse, n_buckets=args.buckets, cluster=args.cluster
+    )
+    if args.stream:
+        if not args.checkpoint:
+            p.error("--stream requires --checkpoint")
+        q = pipe.run_stream(
+            args.source,
+            args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=not args.follow,
+        )
+        q.awaitTermination()
+    else:
+        import glob
+
+        chunks = sorted(d for d in glob.glob(f"{args.source}/*") if "/chunk_" in d)
+        metrics = pipe.replay_batches(chunks)
+        print(json.dumps({"epochs": len(metrics)}))
+
+    if args.vacuum_tombstones_ms:
+        print(json.dumps(pipe.vacuum_tombstones(args.vacuum_tombstones_ms)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,8 +31,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "6000000"))
 N_CHUNKS = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNKS", "2"))
+
+# shuffle + checkpoint blocks on tmpfs: this box's real disk throttles 32
+# concurrent writers long before the CPUs saturate
+if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
+    _d = "/dev/shm/spark_bench_local"
+    os.makedirs(_d, exist_ok=True)
+    os.environ["SPARK_LOCAL_DIRS"] = _d
 
 HEADLINE_QUERIES = [
     "lww_latest_event",
@@ -76,16 +83,10 @@ def _state_digest(df) -> str:
 
 
 def run_replay(cores: int, chunks: list[str], tag: str) -> dict:
+    # JIT is already warm: the cdc_replay_tables headline query ran the full
+    # pipeline in this same JVM (codegen/JIT state survives session restarts)
     spark = _session(cores, f"bench-replay-{cores}")
-    from amundsendatabuilder_spark.sources.changelog import changelog_df
     from amundsendatabuilder_spark.streaming.pipeline import CDCPipeline
-
-    # JIT warmup: run the full pipeline once on a small changelog so timed
-    # epochs measure steady-state throughput, not codegen compilation
-    warm_wh = tempfile.mkdtemp(prefix=f"bench_warm_{tag}_")
-    warm = CDCPipeline(spark, warm_wh, n_buckets=16)
-    warm.apply_batch(changelog_df(spark, 50_000, n_entities=5_000), 0)
-    shutil.rmtree(warm_wh, ignore_errors=True)
 
     wh = tempfile.mkdtemp(prefix=f"bench_wh_{tag}_")
     pipe = CDCPipeline(spark, wh, n_buckets=128)
