@@ -50,6 +50,11 @@ from pyspark.sql import types as T
 
 LINEAGE_COLS = [("publish_tag", T.StringType()), ("updated_ms", T.LongType())]
 
+# merge-on-read service columns (stored in mor data files)
+MOR_SEQ = "__seq"              # monotonic merge counter — LWW order on read
+MOR_DEL = "__mor_deleted"      # delete marker row
+MOR_CO = "__mor_create_only"   # first-writer-wins row (create-only labels)
+
 
 def _bucket_expr(key_cols: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
@@ -61,11 +66,14 @@ class Snapshot:
     schema_json: str
     key_cols: list[str]
     n_buckets: int
-    files: dict[str, list[str]]          # bucket (str) -> data file paths
+    files: dict[str, list[str]]          # bucket (str) -> base data files
     epochs: dict[str, int]               # channel -> last applied epoch id
     metrics: dict[str, Any] = field(default_factory=dict)
     parent: int | None = None
     committed_at_ms: int = 0
+    mode: str = "cow"                    # cow | mor
+    delta_files: dict[str, list[str]] = field(default_factory=dict)
+    seq: int = 0                         # monotonic merge counter (mor order)
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
@@ -115,11 +123,56 @@ class SnapshotTable:
         # explicit schema: old files lacking evolved columns read as null
         return self.spark.read.schema(schema).parquet(*files)
 
+    @staticmethod
+    def _mor_schema(schema: T.StructType) -> T.StructType:
+        return T.StructType(
+            schema.fields
+            + [
+                T.StructField(MOR_SEQ, T.LongType()),
+                T.StructField(MOR_DEL, T.BooleanType()),
+                T.StructField(MOR_CO, T.BooleanType()),
+            ]
+        )
+
+    def _resolve(self, raw: DataFrame, schema: T.StructType,
+                 keys: list[str]) -> DataFrame:
+        """MoR read-side LWW: winner per key = max __seq (min for create-only
+        rows — first writer wins), delete markers drop the key. One
+        aggregation with map-side partial combine."""
+        payload = [f.name for f in schema.fields if f.name not in keys]
+        eff_seq = F.when(
+            F.coalesce(F.col(MOR_CO), F.lit(False)), -F.col(MOR_SEQ)
+        ).otherwise(F.col(MOR_SEQ))
+        # max_by: ordering key must be orderable, but the VALUE may carry
+        # maps/arrays (node attribute maps are not comparable types)
+        w = F.max_by(
+            F.struct(
+                F.coalesce(F.col(MOR_DEL), F.lit(False)).alias(MOR_DEL),
+                *[F.col(c) for c in payload],
+            ),
+            eff_seq,
+        ).alias("__w")
+        return (
+            raw.groupBy(*keys)
+            .agg(w)
+            .where(~F.col(f"__w.{MOR_DEL}"))
+            .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload])
+        )
+
+    def _all_files(self, snap: Snapshot, buckets: list[int] | None = None) -> list[str]:
+        srcs = [snap.files, snap.delta_files] if snap.mode == "mor" else [snap.files]
+        if buckets is None:
+            return [f for src in srcs for fl in src.values() for f in fl]
+        return [f for src in srcs for b in buckets for f in src.get(str(b), [])]
+
     def read(self) -> DataFrame:
         snap = self.current()
-        return self._read_files(
-            [f for fl in snap.files.values() for f in fl], snap.schema()
-        )
+        if snap.mode == "mor":
+            raw = self._read_files(
+                self._all_files(snap), self._mor_schema(snap.schema())
+            )
+            return self._resolve(raw, snap.schema(), snap.key_cols)
+        return self._read_files(self._all_files(snap), snap.schema())
 
     def last_epoch(self, channel: str) -> int:
         return self.current().epochs.get(channel, -1)
@@ -131,13 +184,14 @@ class SnapshotTable:
         snap = self.current()
         b = keys_df.select(_bucket_expr(snap.key_cols, snap.n_buckets).alias("b"))
         touched = [r[0] for r in b.distinct().collect()]
-        files = [f for t in touched for f in snap.files.get(str(t), [])]
-        cur = self._read_files(files, snap.schema())
-        return cur.join(
-            keys_df.select(*snap.key_cols).dropDuplicates(snap.key_cols),
-            on=snap.key_cols,
-            how="left_semi",
-        )
+        keys_only = keys_df.select(*snap.key_cols).dropDuplicates(snap.key_cols)
+        if snap.mode == "mor":
+            raw = self._read_files(
+                self._all_files(snap, touched), self._mor_schema(snap.schema())
+            ).join(keys_only, on=snap.key_cols, how="left_semi")
+            return self._resolve(raw, snap.schema(), snap.key_cols)
+        cur = self._read_files(self._all_files(snap, touched), snap.schema())
+        return cur.join(keys_only, on=snap.key_cols, how="left_semi")
 
     # ---- schema evolution ----------------------------------------------
 
@@ -378,6 +432,12 @@ class SnapshotTable:
         batch = batch.localCheckpoint(eager=True)
 
         touched = [r[0] for r in batch.select("__bucket").distinct().collect()]
+
+        if snap.mode == "mor":
+            return self._prepare_mor_append(
+                batch, snap, new_schema, keys, epoch_id, channel, tag, now_ms, touched
+            )
+
         old_files = [f for b in touched for f in snap.files.get(str(b), [])]
         target = self._read_files(old_files, new_schema)
 
@@ -448,6 +508,159 @@ class SnapshotTable:
             "metrics": metrics,
         }
 
+    def _prepare_mor_append(self, batch, snap, new_schema, keys, epoch_id,
+                            channel, tag, now_ms, touched) -> dict[str, Any]:
+        """Merge-on-read write path: ONE shuffle (repartition by bucket), no
+        read of existing data, no rewrite — per-epoch cost is O(batch), not
+        O(touched table data). Readers resolve winners by ``__seq``;
+        ``compact()`` folds deltas into the base asynchronously. This is the
+        10^10-event ingest shape (Iceberg v2 MoR / Hudi MOR equivalent)."""
+        data_cols = [f.name for f in new_schema.fields]
+        s_cols = set(batch.columns)
+        seq = snap.seq + 1
+        out = batch.select(
+            *[
+                (
+                    F.lit(tag).alias(c) if c == "publish_tag"
+                    else F.lit(now_ms).cast("long").alias(c) if c == "updated_ms"
+                    else (F.col(c) if c in s_cols else F.lit(None).cast(new_schema[c].dataType)).alias(c)
+                )
+                for c in data_cols
+            ],
+            F.lit(seq).alias(MOR_SEQ),
+            F.col("__del").alias(MOR_DEL),
+            F.col("__co").alias(MOR_CO),
+            F.col("__bucket"),
+        )
+        obs = Observation()
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.sum(F.col(MOR_DEL).cast("long")).alias("rows_delete_markers"),
+        )
+        n_part = max(1, min(snap.n_buckets, self.spark.sparkContext.defaultParallelism * 2))
+        epoch_dir = os.path.join(self.data_dir, f"d{epoch_id}_{uuid.uuid4().hex[:8]}")
+        out.repartition(n_part, "__bucket").write.partitionBy("__bucket").mode(
+            "overwrite"
+        ).parquet(epoch_dir)
+
+        new_files = self._list_bucket_files(epoch_dir)
+        deltas = {b: list(fl) for b, fl in snap.delta_files.items()}
+        for b, fl in new_files.items():
+            deltas.setdefault(b, []).extend(fl)
+        m = obs.get
+        metrics = {
+            "epoch": epoch_id,
+            "channel": channel,
+            "publish_tag": tag,
+            "rows_seen": m.get("rows_seen", 0),
+            "rows_delete_markers": m.get("rows_delete_markers") or 0,
+            "buckets_touched": len(touched),
+            "buckets_total": snap.n_buckets,
+            "mode": "mor",
+            "seq": seq,
+        }
+        epochs = dict(snap.epochs)
+        epochs[channel] = epoch_id
+        return {
+            "base_version": snap.version,
+            "schema_json": json.dumps(new_schema.jsonValue()),
+            "key_cols": keys,
+            "n_buckets": snap.n_buckets,
+            "files": dict(snap.files),
+            "epochs": epochs,
+            "metrics": metrics,
+            "mode": "mor",
+            "delta_files": deltas,
+            "seq": seq,
+        }
+
+    def _list_bucket_files(self, out_dir: str) -> dict[str, list[str]]:
+        out: dict[str, list[str]] = {}
+        for d in os.listdir(out_dir):
+            if d.startswith("__bucket="):
+                b = d.split("=", 1)[1]
+                out[b] = sorted(
+                    os.path.join(out_dir, d, f)
+                    for f in os.listdir(os.path.join(out_dir, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    def compact(self, max_delta_files: int = 0) -> dict[str, Any]:
+        """Fold MoR deltas into the base: resolve winners for every bucket
+        whose delta count exceeds ``max_delta_files`` and rewrite those
+        buckets as base files (winner rows keep their ``__seq``). The
+        amortized half of the append-only write path."""
+        snap = self.current()
+        if snap.mode != "mor":
+            return {"compacted_buckets": 0}
+        todo = [
+            b for b in set(snap.files) | set(snap.delta_files)
+            if len(snap.delta_files.get(b, [])) > max_delta_files
+        ]
+        if not todo:
+            return {"compacted_buckets": 0}
+        mor_schema = self._mor_schema(snap.schema())
+        files = [f for b in todo for f in
+                 snap.files.get(b, []) + snap.delta_files.get(b, [])]
+        raw = self._read_files(files, mor_schema)
+        keys = snap.key_cols
+        payload = [f.name for f in snap.schema().fields if f.name not in keys]
+        # resolve but KEEP rows' seq/co and drop deleted keys entirely
+        eff_seq = F.when(F.coalesce(F.col(MOR_CO), F.lit(False)), -F.col(MOR_SEQ)).otherwise(F.col(MOR_SEQ))
+        w = F.max_by(
+            F.struct(
+                F.coalesce(F.col(MOR_DEL), F.lit(False)).alias(MOR_DEL),
+                F.col(MOR_SEQ).alias(MOR_SEQ),
+                F.coalesce(F.col(MOR_CO), F.lit(False)).alias(MOR_CO),
+                *[F.col(c) for c in payload],
+            ),
+            eff_seq,
+        ).alias("__w")
+        resolved = (
+            raw.groupBy(*keys)
+            .agg(w)
+            .where(~F.col(f"__w.{MOR_DEL}"))
+            .select(
+                *keys,
+                *[F.col(f"__w.{c}").alias(c) for c in payload],
+                F.col(f"__w.{MOR_SEQ}").alias(MOR_SEQ),
+                F.lit(False).alias(MOR_DEL),
+                F.col(f"__w.{MOR_CO}").alias(MOR_CO),
+                _bucket_expr(keys, snap.n_buckets).alias("__bucket"),
+            )
+        )
+        out_dir = os.path.join(self.data_dir, f"c{uuid.uuid4().hex[:8]}")
+        n_part = max(1, min(snap.n_buckets, self.spark.sparkContext.defaultParallelism * 2))
+        resolved.repartition(n_part, "__bucket").write.partitionBy(
+            "__bucket"
+        ).mode("overwrite").parquet(out_dir)
+        new_base = self._list_bucket_files(out_dir)
+        base = dict(snap.files)
+        deltas = dict(snap.delta_files)
+        for b in todo:
+            base.pop(b, None)
+            deltas.pop(b, None)
+        base.update(new_base)
+        metrics = {"compacted_buckets": len(todo)}
+        self._commit(
+            Snapshot(
+                version=snap.version + 1,
+                schema_json=snap.schema_json,
+                key_cols=snap.key_cols,
+                n_buckets=snap.n_buckets,
+                files=base,
+                epochs=dict(snap.epochs),
+                metrics=metrics,
+                parent=snap.version,
+                mode="mor",
+                delta_files=deltas,
+                seq=snap.seq,
+            )
+        )
+        return metrics
+
     def commit_prepared(self, prep: dict[str, Any]) -> dict[str, Any]:
         """Cheap phase: atomically publish a prepared merge (manifest write +
         pointer swap). Must be called in pipeline dependency order."""
@@ -467,6 +680,9 @@ class SnapshotTable:
                 epochs=prep["epochs"],
                 metrics=prep["metrics"],
                 parent=snap.version,
+                mode=prep.get("mode", snap.mode),
+                delta_files=prep.get("delta_files", {}),
+                seq=prep.get("seq", snap.seq),
             )
         )
         return prep["metrics"]
@@ -481,7 +697,7 @@ class SnapshotTable:
         ``neo4j_staleness_removal_task.py:187-253``)."""
         snap = self.current()
         schema = snap.schema()
-        full = self._read_files([f for fl in snap.files.values() for f in fl], schema)
+        full = self.read()  # mode-aware (MoR reads resolve winners)
         cond = condition if not isinstance(condition, str) else F.expr(condition)
 
         if max_delete_pct is not None:
@@ -503,42 +719,72 @@ class SnapshotTable:
                     )
 
         bexpr = _bucket_expr(snap.key_cols, snap.n_buckets)
-        touched = [
-            r[0]
-            for r in full.where(cond).select(bexpr.alias("b")).distinct().collect()
-        ]
+        per_bucket = (
+            full.where(cond)
+            .groupBy(bexpr.alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        touched = [r["b"] for r in per_bucket]
+        rows_deleted = sum(r["n"] for r in per_bucket)
         if not touched:
             return {"rows_deleted": 0, "buckets_touched": 0}
 
-        files = [f for b in touched for f in snap.files.get(str(b), [])]
-        obs = Observation()
-        kept = (
-            self._read_files(files, schema)
-            .observe(obs, F.sum(cond.cast("long")).alias("rows_deleted"))
-            .where(~cond)
-            .withColumn("__bucket", bexpr)
-        )
+        if snap.mode == "mor":
+            # resolve touched buckets (keeping seq/co), drop matches, rewrite
+            # those buckets as base and clear their deltas
+            raw = self._read_files(
+                self._all_files(snap, touched), self._mor_schema(schema)
+            )
+            keys = snap.key_cols
+            payload = [f.name for f in schema.fields if f.name not in keys]
+            eff_seq = F.when(F.coalesce(F.col(MOR_CO), F.lit(False)), -F.col(MOR_SEQ)).otherwise(F.col(MOR_SEQ))
+            w = F.max(
+                F.struct(
+                    eff_seq.alias("__o"),
+                    F.coalesce(F.col(MOR_DEL), F.lit(False)).alias(MOR_DEL),
+                    F.col(MOR_SEQ).alias(MOR_SEQ),
+                    F.coalesce(F.col(MOR_CO), F.lit(False)).alias(MOR_CO),
+                    *[F.col(c) for c in payload],
+                )
+            ).alias("__w")
+            kept = (
+                raw.groupBy(*keys)
+                .agg(w)
+                .where(~F.col(f"__w.{MOR_DEL}"))
+                .select(
+                    *keys,
+                    *[F.col(f"__w.{c}").alias(c) for c in payload],
+                    F.col(f"__w.{MOR_SEQ}").alias(MOR_SEQ),
+                    F.lit(False).alias(MOR_DEL),
+                    F.col(f"__w.{MOR_CO}").alias(MOR_CO),
+                )
+                .where(~F.coalesce(cond, F.lit(False)))  # null cond ⇒ keep
+                .withColumn("__bucket", bexpr)
+            )
+        else:
+            files = [f for b in touched for f in snap.files.get(str(b), [])]
+            kept = (
+                self._read_files(files, schema)
+                .where(~F.coalesce(cond, F.lit(False)))  # null cond ⇒ keep
+                .withColumn("__bucket", bexpr)
+            )
         out_dir = os.path.join(self.data_dir, f"del_{uuid.uuid4().hex[:8]}")
         kept.repartition("__bucket").write.partitionBy("__bucket").mode(
             "overwrite"
         ).parquet(out_dir)
 
-        new_files: dict[str, list[str]] = {}
-        for d in os.listdir(out_dir):
-            if d.startswith("__bucket="):
-                b = d.split("=", 1)[1]
-                new_files[b] = sorted(
-                    os.path.join(out_dir, d, f)
-                    for f in os.listdir(os.path.join(out_dir, d))
-                    if f.endswith(".parquet")
-                )
+        new_files = self._list_bucket_files(out_dir)
         nf = dict(snap.files)
+        deltas = dict(snap.delta_files)
         for b in touched:
             nf.pop(str(b), None)
+            deltas.pop(str(b), None)
         nf.update(new_files)
         metrics = {
-            "rows_deleted": obs.get.get("rows_deleted") or 0,
+            "rows_deleted": rows_deleted,
             "buckets_touched": len(touched),
+            "deleted_per_bucket": {str(r["b"]): r["n"] for r in per_bucket},
         }
         self._commit(
             Snapshot(
@@ -550,6 +796,9 @@ class SnapshotTable:
                 epochs=dict(snap.epochs),
                 metrics=metrics,
                 parent=snap.version,
+                mode=snap.mode,
+                delta_files=deltas,
+                seq=snap.seq,
             )
         )
         return metrics
@@ -577,6 +826,7 @@ class SnapshotLake:
         n_buckets: int = 64,
         with_lineage_cols: bool = True,
         if_not_exists: bool = True,
+        mode: str = "cow",
     ) -> SnapshotTable:
         t = SnapshotTable(self.spark, self._root(name))
         if self.exists(name):
@@ -595,6 +845,8 @@ class SnapshotLake:
                 raise ValueError(f"key column {k} not in schema")
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown table mode {mode}")
         t._commit(
             Snapshot(
                 version=0,
@@ -603,6 +855,7 @@ class SnapshotLake:
                 n_buckets=n_buckets,
                 files={},
                 epochs={},
+                mode=mode,
             )
         )
         return t

@@ -74,10 +74,20 @@ class CDCPipeline:
         cluster: str = K.CLUSTER,
         create_only_labels: tuple[str, ...] = (),
         parallel_prepare: bool | None = None,
+        table_mode: str = "cow",
+        compact_every: int = 8,
+        compact_max_delta_files: int = 2,
     ):
+        """``table_mode``: "cow" rewrites touched buckets per epoch (cheap
+        reads); "mor" appends per epoch and resolves winners on read — the
+        ingest-throughput shape for 10^10-event replays, with
+        ``compact_every`` epochs folding deltas back into the base."""
         self.spark = spark
         self.cluster = cluster
         self.create_only_labels = create_only_labels
+        self.table_mode = table_mode
+        self.compact_every = compact_every
+        self.compact_max_delta_files = compact_max_delta_files
         # concurrent prepares help when executors outnumber one job's tasks
         # (real clusters); in local single-JVM mode they contend — default off
         self.parallel_prepare = (
@@ -100,16 +110,16 @@ class CDCPipeline:
             + [T.StructField("is_deleted", T.BooleanType())]
         )
         self.repo_files = self.lake.create_table(
-            "repo_files", entity_schema, ENTITY_KEYS, n_buckets=n_buckets
+            "repo_files", entity_schema, ENTITY_KEYS, n_buckets=n_buckets, mode=table_mode
         )
         self.graph_nodes = self.lake.create_table(
-            "graph_nodes", _strip(NODE_SCHEMA, {"scope_key"}), NODE_KEYS, n_buckets=n_buckets
+            "graph_nodes", _strip(NODE_SCHEMA, {"scope_key"}), NODE_KEYS, n_buckets=n_buckets, mode=table_mode
         )
         self.graph_relations = self.lake.create_table(
-            "graph_relations", _strip(REL_SCHEMA, {"scope_key"}), REL_KEYS, n_buckets=n_buckets
+            "graph_relations", _strip(REL_SCHEMA, {"scope_key"}), REL_KEYS, n_buckets=n_buckets, mode=table_mode
         )
         self.search_documents = self.lake.create_table(
-            "search_documents", DOC_SCHEMA, DOC_KEYS, n_buckets=n_buckets
+            "search_documents", DOC_SCHEMA, DOC_KEYS, n_buckets=n_buckets, mode=table_mode
         )
 
     # -- the foreachBatch body -------------------------------------------
@@ -277,6 +287,16 @@ class CDCPipeline:
         m_docs = _commit("docs")
         m_ent = _commit("entities")
         mark("commit_all")
+
+        if (
+            self.table_mode == "mor"
+            and self.compact_every
+            and (epoch_id + 1) % self.compact_every == 0
+        ):
+            for tbl in (self.graph_nodes, self.graph_relations,
+                        self.search_documents, self.repo_files):
+                tbl.compact(max_delta_files=self.compact_max_delta_files)
+            mark("compact")
 
         metrics = {
             "epoch": epoch_id,

@@ -137,3 +137,62 @@ def test_merge_strategies_equivalent(spark, warehouse):
     mb = lake.table("t_join").current().metrics
     for k in ("rows_inserted", "rows_updated", "rows_deleted"):
         assert ma[k] == mb[k], (k, ma, mb)
+
+
+def test_mor_merge_semantics(spark, warehouse):
+    """merge-on-read: append-only writes, resolve-on-read LWW, compaction
+    preserves state, delete_where works on resolved data."""
+    lake = SnapshotLake(spark, warehouse)
+    t = lake.create_table("m", SCHEMA, ["key"], n_buckets=8, mode="mor")
+    t.merge_upsert(spark.createDataFrame([("a", "A", 1), ("b", "B", 1)], SCHEMA), 0)
+    t.merge_upsert(spark.createDataFrame([("b", "B2", 2), ("c", "C", 1)], SCHEMA), 1)
+    assert rows(t) == {"a": ("A", 1), "b": ("B2", 2), "c": ("C", 1)}
+
+    # delete marker
+    batch = spark.createDataFrame(
+        [("a", None, None, True), ("d", "D", 4, False)],
+        T.StructType(SCHEMA.fields + [T.StructField("dl", T.BooleanType())]),
+    )
+    t.merge_upsert(batch, 2, delete_col="dl")
+    assert rows(t) == {"b": ("B2", 2), "c": ("C", 1), "d": ("D", 4)}
+
+    # appends only: base empty, deltas accumulate
+    snap = t.current()
+    assert snap.mode == "mor" and not snap.files and snap.delta_files
+
+    # compaction folds deltas into base without changing state
+    before = rows(t)
+    m = t.compact()
+    assert m["compacted_buckets"] > 0
+    snap = t.current()
+    assert snap.files and not snap.delta_files
+    assert rows(t) == before
+
+    # writes after compaction still resolve
+    t.merge_upsert(spark.createDataFrame([("b", "B3", 3)], SCHEMA), 3)
+    assert rows(t)["b"] == ("B3", 3)
+
+    # create-only after compaction: existing row wins
+    co = spark.createDataFrame(
+        [("b", "NOPE", 9, True), ("e", "E", 5, True)],
+        T.StructType(SCHEMA.fields + [T.StructField("co", T.BooleanType())]),
+    )
+    t.merge_upsert(co, 4, create_only_col="co")
+    r = rows(t)
+    assert r["b"] == ("B3", 3) and r["e"] == ("E", 5)
+
+    # schema evolution additive on mor
+    evolved = T.StructType(SCHEMA.fields + [T.StructField("extra", T.StringType())])
+    t.merge_upsert(spark.createDataFrame([("f", "Fx", 6, "X")], evolved), 5)
+    got = {x["key"]: x["extra"] for x in t.read().collect()}
+    assert got["f"] == "X" and got["b"] is None
+
+    # delete_where on resolved state
+    m = t.delete_where(F.col("v") >= 5, max_delete_pct=0.9)
+    assert m["rows_deleted"] == 2  # e(5), f(6)
+    assert set(rows(t)) == {"b", "c", "d"}
+
+    # exactly-once epoch replay on mor
+    v = t.current().version
+    m = t.merge_upsert(spark.createDataFrame([("zzz", "Z", 1)], SCHEMA), 5)
+    assert "skipped_epoch" in m and t.current().version == v

@@ -161,3 +161,24 @@ def test_cross_epoch_out_of_order_replay(spark, tmp_path, chunks):
     g = {(r["repo"], r["path"]): r["commit"] for r in rev.current_entities().collect()}
     e = {(r["repo"], r["path"]): r["commit"] for r in exp.collect()}
     assert g == e
+
+
+def test_mor_pipeline_matches_cow(spark, tmp_path, chunks):
+    """merge-on-read table mode converges to the same final state as CoW,
+    including compaction mid-replay."""
+    paths, _ = chunks
+    cow = CDCPipeline(spark, str(tmp_path / "cow"), n_buckets=16)
+    cow.replay_batches(paths)
+    mor = CDCPipeline(spark, str(tmp_path / "mor"), n_buckets=16,
+                      table_mode="mor", compact_every=2, compact_max_delta_files=0)
+    mor.replay_batches(paths)
+    for a, b in [
+        (cow.current_entities(), mor.current_entities()),
+        (cow.graph_nodes.read(), mor.graph_nodes.read()),
+        (cow.graph_relations.read(), mor.graph_relations.read()),
+        (cow.search_documents.read(), mor.search_documents.read()),
+    ]:
+        assert state_digest(a) == state_digest(b)
+    # mor replay is resumable/idempotent too
+    m = mor.replay_batches(paths)
+    assert all(x.get("skipped") for x in m)
