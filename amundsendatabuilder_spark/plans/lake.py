@@ -177,20 +177,27 @@ class SnapshotTable:
     def last_epoch(self, channel: str) -> int:
         return self.current().epochs.get(channel, -1)
 
-    def read_for_keys(self, keys_df: DataFrame) -> DataFrame:
+    def read_for_keys(self, keys_df: DataFrame,
+                      columns: list[str] | None = None) -> DataFrame:
         """Current rows whose key appears in ``keys_df`` — reads only the
         touched buckets (manifest pruning) then left-semi joins on the key.
+        ``columns`` prunes the projection down to the parquet scan (pass only
+        what you need: wide columns like ``content`` dominate scan bytes).
         The point-lookup primitive of the CDC diff path."""
         snap = self.current()
+        schema = snap.schema()
+        if columns is not None:
+            want = set(columns) | set(snap.key_cols)
+            schema = T.StructType([f for f in schema.fields if f.name in want])
         b = keys_df.select(_bucket_expr(snap.key_cols, snap.n_buckets).alias("b"))
         touched = [r[0] for r in b.distinct().collect()]
         keys_only = keys_df.select(*snap.key_cols).dropDuplicates(snap.key_cols)
         if snap.mode == "mor":
             raw = self._read_files(
-                self._all_files(snap, touched), self._mor_schema(snap.schema())
+                self._all_files(snap, touched), self._mor_schema(schema)
             ).join(keys_only, on=snap.key_cols, how="left_semi")
-            return self._resolve(raw, snap.schema(), snap.key_cols)
-        cur = self._read_files(self._all_files(snap, touched), snap.schema())
+            return self._resolve(raw, schema, snap.key_cols)
+        cur = self._read_files(self._all_files(snap, touched), schema)
         return cur.join(keys_only, on=snap.key_cols, how="left_semi")
 
     # ---- schema evolution ----------------------------------------------

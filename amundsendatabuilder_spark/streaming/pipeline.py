@@ -141,10 +141,13 @@ class CDCPipeline:
         winners = winners.localCheckpoint(eager=True)  # cut lineage; reused 4×
         mark("dedup+ckpt")
 
-        # current state for the touched keys — INCLUDING tombstones: a
-        # deleted entity must keep winning against late stale events
+        # current ordering state for the touched keys — INCLUDING tombstones
+        # (a deleted entity must keep winning against late stale events).
+        # Narrow projection: the gate needs only the LWW ordering columns —
+        # never drag `content` (the widest column) through this read.
         old_all = self.repo_files.read_for_keys(
-            winners.select(*ENTITY_KEYS)
+            winners.select(*ENTITY_KEYS),
+            columns=["event_ts", "commit", "is_deleted"],
         ).localCheckpoint(eager=True)
         mark("old_state+ckpt")
 
@@ -182,11 +185,18 @@ class CDCPipeline:
             .localCheckpoint(eager=True)
         )
         mark("extract+ckpt")
-        # diffs only for keys whose state actually changes; active rows only
+        # diffs only for keys whose state actually changes; active rows only.
+        # Second pruned read: expansion features but NOT content (expansions
+        # run on extracted features; content is never re-read after ingest)
+        feature_cols = [c for c in new_entities.columns if c not in ("content",)]
         old_entities = (
-            old_all.where(~F.col("is_deleted"))
-            .join(effective.select(*ENTITY_KEYS), ENTITY_KEYS, "left_semi")
+            self.repo_files.read_for_keys(
+                effective.select(*ENTITY_KEYS),
+                columns=feature_cols + ["is_deleted"],
+            )
+            .where(~F.col("is_deleted"))
             .drop("is_deleted")
+            .withColumn("content", F.lit(None).cast("string"))
             .localCheckpoint(eager=True)
         )
 
