@@ -322,6 +322,36 @@ def q_doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def q_json_extract(spark, sf_dir):
+    """JSONPath projection (RestApiQuery / get_json_object)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_value"),
+    )
+
+
+def q_posexplode_columns(spark, sf_dir):
+    """Positional explode with sort_order (GlueExtractor column+partition-key
+    concatenation, glue_extractor.py:50-59)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split(F.col("p_type"), " ")).alias("sort_order", "word"),
+    )
+
+
+def q_base64_decode(spark, sf_dir):
+    """base64 → JSON decode (PrestoViewMetadataExtractor :96-117 analog):
+    encode a deterministic payload, decode it back, extract a field."""
+    d = _t(spark, sf_dir, "documents")
+    enc = F.base64(F.to_json(F.struct(F.col("doc_id").alias("id"), F.col("lang").alias("l"))).cast("binary"))
+    return d.select(
+        "doc_id",
+        F.get_json_object(F.unbase64(enc).cast("string"), "$.l").alias("decoded_lang"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the CDC engine end-to-end (flagship)
 # ---------------------------------------------------------------------------
@@ -377,6 +407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_template": q_key_template,
         "literal_replace": q_literal_replace,
         "stale_pct": q_stale_pct,
+        "json_extract": q_json_extract,
+        "posexplode_columns": q_posexplode_columns,
+        "base64_decode": q_base64_decode,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -482,6 +515,18 @@ def oracle_sql() -> dict[str, str]:
         "literal_replace": """
             SELECT doc_id, md5(replace(text, 'batch', 'micro')) AS replaced_md5
             FROM documents
+        """,
+        "json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+            FROM events
+        """,
+        "posexplode_columns": """
+            SELECT p_partkey, i - 1 AS sort_order, ws[i] AS word
+            FROM (SELECT p_partkey, string_split(p_type, ' ') AS ws FROM part) t,
+                 LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) u
+        """,
+        "base64_decode": """
+            SELECT doc_id, lang AS decoded_lang FROM documents
         """,
         "stale_pct": """
             SELECT event_type, count(*) AS total,

@@ -114,7 +114,10 @@ def write_neo4j_csv(nodes: DataFrame, out_dir: str) -> list[str]:
     return out
 
 
-@pandas_udf("string")
+from pyspark.sql import types as _T
+
+
+@pandas_udf(_T.StringType())
 def canonical_json_udf(s: pd.Series) -> pd.Series:
     """Sorted-key JSON of a struct column (already JSON-encoded via to_json is
     NOT sorted; this re-parses and dumps with sort_keys) + trailing newline —
