@@ -31,8 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "6000000"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
 N_CHUNKS = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNKS", "2"))
+N_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
 
 # shuffle + checkpoint blocks on tmpfs: this box's real disk throttles 32
 # concurrent writers long before the CPUs saturate
@@ -131,12 +132,18 @@ def main() -> None:
     spark.stop()
     _log(f"changelog gen ({N_EVENTS} events): {round(time.time() - t0, 1)}s")
 
-    # -- 3. replay at 4N and N cores (same input) -------------------------
-    big = run_replay(CPUS, chunks, "4N")
-    _log(f"replay 4N ({big['cores']} cores): {big['wall_sec']}s")
-    small = run_replay(max(1, CPUS // 4), chunks, "N")
-    _log(f"replay N ({small['cores']} cores): {small['wall_sec']}s")
+    # -- 3. replay at N and 4N cores, interleaved rounds -------------------
+    # the sandbox host is burstable (sustained load gets hypervisor-throttled
+    # and run order biases results); alternate arms and take per-arm MIN wall
+    runs: dict[str, list[dict]] = {"N": [], "4N": []}
+    for _ in range(N_ROUNDS):
+        runs["N"].append(run_replay(max(1, CPUS // 4), chunks, "N"))
+        _log(f"replay N ({runs['N'][-1]['cores']} cores): {runs['N'][-1]['wall_sec']}s")
+        runs["4N"].append(run_replay(CPUS, chunks, "4N"))
+        _log(f"replay 4N ({runs['4N'][-1]['cores']} cores): {runs['4N'][-1]['wall_sec']}s")
 
+    small = min(runs["N"], key=lambda r: r["wall_sec"])
+    big = min(runs["4N"], key=lambda r: r["wall_sec"])
     tput_big = N_EVENTS / big["wall_sec"]
     tput_small = N_EVENTS / small["wall_sec"]
     eff = tput_big / (4.0 * tput_small)
@@ -157,6 +164,8 @@ def main() -> None:
                 "scaling_efficiency_N_to_4N": round(eff, 3),
                 "digests_match_across_parallelism": big["digest"] == small["digest"],
                 "final_rows": big["final_rows"],
+                "wall_samples_N": [r["wall_sec"] for r in runs["N"]],
+                "wall_samples_4N": [r["wall_sec"] for r in runs["4N"]],
             },
         }
     )
