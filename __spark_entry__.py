@@ -41,12 +41,37 @@ def _doc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic usage deltas over the same doc-derived tables: two
+    readers per doc — reader d%11 with count d%13+1, reader (3d+1)%11 with
+    count d%5+1 (they coincide when d ≡ 5 mod 11). Same derivation as the
+    oracle SQL."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc_"), F.col("doc_id")).alias("path"),
+        F.col("doc_id"),
+    )
+    r1 = base.select(
+        "repo", "path",
+        F.concat(F.lit("reader_"), (F.col("doc_id") % 11), F.lit("@example.com")).alias("user_email"),
+        (F.col("doc_id") % 13 + 1).cast("long").alias("read_count"),
+    )
+    r2 = base.select(
+        "repo", "path",
+        F.concat(F.lit("reader_"), ((F.col("doc_id") * 3 + 1) % 11), F.lit("@example.com")).alias("user_email"),
+        (F.col("doc_id") % 5 + 1).cast("long").alias("read_count"),
+    )
+    return r1.unionByName(r2)
+
+
 def _run_cdc(spark: SparkSession, sf_dir: str) -> "object":
     from amundsendatabuilder_spark.streaming.pipeline import CDCPipeline
 
     wh = tempfile.mkdtemp(prefix="cdc_wh_")
     pipe = CDCPipeline(spark, wh, n_buckets=16)
     pipe.apply_batch(_doc_changelog(spark, sf_dir), 0)
+    pipe.apply_usage(_doc_usage(spark, sf_dir), 0)
     return pipe
 
 
@@ -252,25 +277,35 @@ def q_ngram_jaccard(spark, sf_dir):
     from amundsendatabuilder_spark.functions.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2, max_posting=10**9)
+    # library-default stop-shingle pruning (max_posting=1000) stays ON — the
+    # r01 override that disabled it was the exact all-pairs blowup the
+    # docstring warns about; the oracle encodes the same pruned semantics
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2)
     return pairs.select("id_a", "id_b", "jaccard")
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (no SQL oracle — rows-only check;
-    exactness vs n-gram Jaccard is covered in tests/)."""
+    """MinHash+LSH near-dup candidates. Cross-engine-reproducible md5 hasher
+    (60-bit) so the SQL oracle recomputes the IDENTICAL signatures, band
+    buckets, candidate set, and estimates — full value-hash parity, not a
+    rows-only check. The xxhash64 production path is covered by
+    tests/test_functions.py recall/estimate assertions."""
     from amundsendatabuilder_spark.functions.dedup import minhash_lsh_candidates
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    return minhash_lsh_candidates(d, k=32, bands=8)
+    out = minhash_lsh_candidates(d, k=32, bands=8, hasher="md5")
+    return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
 def q_simhash_near(spark, sf_dir):
-    """SimHash near-dup pairs (no SQL oracle — rows-only check)."""
+    """SimHash near-dup pairs, md5 hasher. Blocking is pigeonhole-complete
+    (max_hamming+1 segments), so the output EQUALS brute-force all-pairs at
+    the threshold — which is exactly what the SQL oracle computes."""
     from amundsendatabuilder_spark.functions.dedup import simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    return simhash_near_pairs(d, max_hamming=8)
+    out = simhash_near_pairs(d, max_hamming=8, hasher="md5")
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -368,12 +403,58 @@ def q_cdc_replay_tables(spark, sf_dir):
 
 
 def q_cdc_search_docs(spark, sf_dir):
-    """Search documents merged by the same engine run."""
+    """Search documents merged by the same engine run — including the READ
+    usage aggregates (SUM read_count / COUNT DISTINCT reader) wired through
+    the usage channel (reference neo4j_search_data_extractor.py:40-42)."""
     pipe = _run_cdc(spark, sf_dir)
     return pipe.search_documents.read().select(
         "key", "schema", "name",
         F.concat_ws("|", F.col("tags")).alias("tags"),
         "last_updated_timestamp",
+        "total_usage", "unique_usage",
+    )
+
+
+def q_metastore_regroup(spark, sf_dir):
+    """JDBC metadata-extractor regroup: per-column warehouse rows → ordered
+    TableMetadata rows (HiveTableMetadataExtractor regroup,
+    hive_table_metadata_extractor.py:133-160; shared by all 11 dialects).
+    The per-column frame is derived deterministically from `part` — in prod
+    it comes from sources.jdbc.metadata_scan over a live metastore."""
+    from amundsendatabuilder_spark.sources.jdbc import regroup_to_table_metadata
+
+    p = _t(spark, sf_dir, "part")
+    rows = p.select(
+        F.lit("repometa").alias("database"),
+        F.lit("gold").alias("cluster"),
+        F.concat(F.lit("s_"), F.col("p_partkey") % 3).alias("schema"),
+        F.concat(F.lit("t_"), F.col("p_partkey") % 50).alias("name"),
+        F.lit(None).cast("string").alias("description"),
+        F.concat(F.lit("c_"), F.col("p_partkey")).alias("col_name"),
+        F.col("p_brand").alias("col_description"),
+        F.lower(F.substring_index(F.col("p_type"), " ", 1)).alias("col_type"),
+        F.col("p_partkey").alias("col_sort_order"),
+        F.lit(False).alias("is_view"),
+    )
+    tm = regroup_to_table_metadata(rows)
+    return tm.select(
+        "schema", "name",
+        F.size("columns").cast("long").alias("n_cols"),
+        F.concat_ws(",", F.col("columns.name")).alias("col_names"),
+        F.concat_ws(",", F.col("columns.col_type")).alias("col_types"),
+    )
+
+
+def q_cdc_usage_rels(spark, sf_dir):
+    """READ_BY relations merged by the usage channel: Table-[READ_BY]->User
+    with accumulated read_count (TableColumnUsage expansion,
+    databuilder/models/table_column_usage.py:85-99)."""
+    pipe = _run_cdc(spark, sf_dir)
+    rels = pipe.graph_relations.read().where(F.col("type") == "READ_BY")
+    return rels.select(
+        "start_key",
+        F.col("end_key").alias("user_email"),
+        F.col("attributes")["read_count"].cast("long").alias("read_count"),
     )
 
 
@@ -418,8 +499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "metastore_regroup": q_metastore_regroup,
         "cdc_replay_tables": q_cdc_replay_tables,
         "cdc_search_docs": q_cdc_search_docs,
+        "cdc_usage_rels": q_cdc_usage_rels,
     }
 
 
@@ -549,9 +632,14 @@ def oracle_sql() -> dict[str, str]:
               FROM w WHERE len(ws) >= 3),
             posts AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
             sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+            -- stop-shingle pruning: drop postings longer than max_posting=1000
+            pruned AS (
+              SELECT * FROM posts
+              WHERE shingle NOT IN (
+                SELECT shingle FROM posts GROUP BY shingle HAVING count(*) > 1000)),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-              FROM posts a JOIN posts b USING (shingle)
+              FROM pruned a JOIN pruned b USING (shingle)
               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
             SELECT id_a, id_b,
                    i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
@@ -559,6 +647,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.2
+        """,
+        "minhash_lsh": """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM documents WHERE doc_id < 500),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)]) AS shingles
+              FROM w WHERE len(ws) >= 3),
+            posts AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+            m AS (
+              SELECT doc_id, i,
+                     min(CAST('0x' || substr(md5(shingle || '|' || i), 1, 15) AS BIGINT)) AS mh
+              FROM posts, (SELECT unnest(range(0, 32)) AS i) idx
+              GROUP BY doc_id, i),
+            sig AS (SELECT doc_id, list(mh ORDER BY i) AS sg FROM m GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, b, array_to_string(sg[b*4+1 : b*4+4], '|') AS bucket
+              FROM sig, (SELECT unnest(range(0, 8)) AS b) bs),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b USING (b, bucket)
+              WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   round(len(list_filter(range(1, 33), i -> sa.sg[i] = sb.sg[i])) / 32.0, 6) AS est_jaccard
+            FROM cand
+            JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+        """,
+        "simhash_near": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS words
+              FROM documents WHERE doc_id < 500),
+            h AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS hv
+              FROM (SELECT doc_id, unnest(words) AS word FROM w)),
+            votes AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM h, (SELECT unnest(range(0, 60)) AS b) bs
+              GROUP BY doc_id, b),
+            sim AS (
+              SELECT doc_id,
+                     sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+              FROM votes GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
@@ -633,7 +772,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'repofs://gold.' || source || '/doc_' || doc_id AS key,
                    source AS schema, 'doc_' || doc_id AS name,
                    lang AS tags,
-                   CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') + doc_id AS BIGINT) AS last_updated_timestamp
+                   CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') + doc_id AS BIGINT) AS last_updated_timestamp,
+                   CAST((doc_id % 13 + 1) + (doc_id % 5 + 1) AS BIGINT) AS total_usage,
+                   CAST(CASE WHEN (doc_id % 11) = ((doc_id * 3 + 1) % 11) THEN 1 ELSE 2 END AS BIGINT) AS unique_usage
             FROM documents WHERE doc_id % 7 != 0
+        """,
+        "metastore_regroup": """
+            WITH cols AS (
+              SELECT 's_' || (p_partkey % 3) AS schema,
+                     't_' || (p_partkey % 50) AS name,
+                     'c_' || p_partkey AS col_name,
+                     lower(string_split(p_type, ' ')[1]) AS col_type,
+                     p_partkey AS so
+              FROM part)
+            SELECT schema, name,
+                   count(*) AS n_cols,
+                   string_agg(col_name, ',' ORDER BY so) AS col_names,
+                   string_agg(col_type, ',' ORDER BY so) AS col_types
+            FROM cols GROUP BY schema, name
+        """,
+        "cdc_usage_rels": """
+            WITH live AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 != 0),
+            pairs AS (
+              SELECT doc_id, source, doc_id % 11 AS u, doc_id % 13 + 1 AS c FROM live
+              UNION ALL
+              SELECT doc_id, source, (doc_id * 3 + 1) % 11 AS u, doc_id % 5 + 1 AS c FROM live)
+            SELECT 'repofs://gold.' || source || '/doc_' || doc_id AS start_key,
+                   'reader_' || u || '@example.com' AS user_email,
+                   CAST(sum(c) AS BIGINT) AS read_count
+            FROM pairs GROUP BY 1, 2
         """,
     }

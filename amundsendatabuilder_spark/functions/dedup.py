@@ -11,16 +11,34 @@ Five strategies, cheap → precise, all shuffle-disciplined:
 * **SimHash** — 64-bit bit-voting signature; hamming-close buckets.
 * **embedding cosine** — near-dup by vector similarity (see similarity.py).
 
-MinHash/SimHash signatures are computed with JVM-side ``xxhash64`` per
-shingle + array aggregation (no Python in the hot path).
+MinHash/SimHash signatures are computed with JVM-side hashes per shingle +
+array aggregation (no Python in the hot path). Two hashers:
+
+* ``xxhash64`` (default) — fastest, codegen'd, the production path.
+* ``md5`` — 60-bit int from the first 15 hex chars of md5. Slower but
+  **cross-engine reproducible** (DuckDB computes the identical value), which
+  is how the driver's SQL oracle exactly verifies the MinHash/SimHash
+  pipelines end-to-end (candidates AND estimates), not just row counts.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from amundsendatabuilder_spark.functions.text import doc_fingerprint, word_shingles
+
+
+def hash64(col: Column, seed: int | None = None, hasher: str = "xxhash64") -> Column:
+    """64-bit (xxhash64) or 60-bit (md5) integer hash of a string column.
+    md5 variant: ``CAST('0x' || substr(md5(s || '|' || seed), 1, 15) AS
+    BIGINT)`` in DuckDB produces the identical value."""
+    if hasher == "xxhash64":
+        return F.xxhash64(col) if seed is None else F.xxhash64(col, F.lit(seed))
+    if hasher == "md5":
+        s = col if seed is None else F.concat_ws("|", col, F.lit(str(seed)))
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hasher {hasher}")
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
@@ -101,15 +119,15 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                       n: int = 3, k: int = 64) -> DataFrame:
+                       n: int = 3, k: int = 64, hasher: str = "xxhash64") -> DataFrame:
     """k-permutation MinHash signature per doc, entirely JVM-side:
-    sig[i] = min over shingles of xxhash64(shingle, seed=i)."""
+    sig[i] = min over shingles of hash64(shingle, seed=i)."""
     sh = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("sh"))
 
     def _perm(i: int):
         # closure factory: a `lambda s, i=i:` would be seen by the HOF
         # machinery as a 2-arg lambda and receive the array index instead
-        return lambda s: F.xxhash64(s, F.lit(i))
+        return lambda s: hash64(s, i, hasher)
 
     sig = F.array(
         *[F.array_min(F.transform(F.col("sh"), _perm(i))) for i in range(k)]
@@ -124,24 +142,27 @@ def minhash_lsh_candidates(
     n: int = 3,
     k: int = 64,
     bands: int = 16,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: signature split into ``bands`` rows of k/bands values;
     docs sharing any band-hash are candidates. Near-linear: explode → shuffle
-    on band hash → per-bucket pairs. Returns (id_a, id_b, est_jaccard)."""
+    on band hash → per-bucket pairs. Returns (id_a, id_b, est_jaccard).
+    With ``hasher='md5'`` the band bucket is the raw joined string (portable
+    to the SQL oracle) instead of its xxhash64 compression."""
     rows = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, k).localCheckpoint(eager=True)
+    sigs = minhash_signatures(df, id_col, text_col, n, k, hasher).localCheckpoint(eager=True)
+
+    def _band_bucket(b: int):
+        joined = F.concat_ws(
+            "|", *[F.element_at("signature", b * rows + r + 1).cast("string") for r in range(rows)]
+        )
+        return F.xxhash64(joined) if hasher == "xxhash64" else joined
+
     banded = sigs.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws("|", *[F.element_at("signature", b * rows + r + 1).cast("string") for r in range(rows)])
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.array(*[_band_bucket(b) for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
     )
     a = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
     b = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
@@ -173,11 +194,13 @@ def minhash_lsh_candidates(
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 64) -> DataFrame:
+            bits: int = 64, hasher: str = "xxhash64") -> DataFrame:
     """64-bit SimHash by bit-voting over word hashes, JVM-side: for each bit,
-    sign(sum over words of ±1) — near-dups differ in few bits."""
+    sign(sum over words of ±1) — near-dups differ in few bits. With
+    ``hasher='md5'`` word hashes are 60-bit, so simhash bits 60..63 are
+    always 0 — identical in the SQL oracle, harmless for hamming."""
     words = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    hashes = F.transform(words, lambda w: hash64(w, None, hasher))
 
     def _vote(b: int):
         return lambda acc, h: acc + F.when(
@@ -200,23 +223,35 @@ def hamming_distance(a, b):
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Candidate near-dups by SimHash: block on the 4 16-bit quarters (any
-    pair within hamming ≤ 3 of 64 shares at least one exact quarter by
-    pigeonhole with margin), verify full hamming distance."""
-    s = simhash(df, id_col, text_col).localCheckpoint(eager=True)
-    quarters = s.select(
+                       text_col: str = "text", max_hamming: int = 3,
+                       hasher: str = "xxhash64") -> DataFrame:
+    """Candidate near-dups by SimHash: block on ``max_hamming + 1`` bit
+    segments — by pigeonhole, any pair within hamming ≤ max_hamming must
+    agree exactly on at least one segment (the r01 4-quarter scheme was
+    complete only for hamming ≤ 3; this generalizes it) — then verify the
+    full hamming distance. Blocking is COMPLETE: output equals brute-force
+    all-pairs at the same threshold, which is what the SQL oracle checks.
+    Scale note: segment width = 64/(max_hamming+1) bits; looser thresholds
+    mean coarser buckets and more candidate pairs — the inherent pigeonhole
+    blocking tradeoff. Keep max_hamming small on large corpora."""
+    nseg = max_hamming + 1
+    bounds = [round(64 * i / nseg) for i in range(nseg + 1)]
+    s = simhash(df, id_col, text_col, hasher=hasher).localCheckpoint(eager=True)
+
+    def _segment(i: int):
+        lo, width = bounds[i], bounds[i + 1] - bounds[i]
+        v = F.shiftrightunsigned("simhash", lo)
+        if width < 64:
+            v = v.bitwiseAND(F.lit((1 << width) - 1))
+        return v.cast("long")
+
+    segments = s.select(
         F.col(id_col),
         F.col("simhash"),
-        F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned("simhash", q * 16).bitwiseAND(F.lit(0xFFFF)).cast("int")
-                for q in range(4)
-            ])
-        ).alias("q", "qval"),
+        F.posexplode(F.array(*[_segment(i) for i in range(nseg)])).alias("q", "qval"),
     )
-    a = quarters.select("q", "qval", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"))
-    b = quarters.select("q", "qval", F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"))
+    a = segments.select("q", "qval", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"))
+    b = segments.select("q", "qval", F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"))
     return (
         a.join(b, ["q", "qval"])
         .where(F.col("id_a") < F.col("id_b"))

@@ -47,7 +47,39 @@ def extract_entities(upserts: DataFrame, cluster: str = K.CLUSTER) -> DataFrame:
         .withColumn("table_key", tbl_key)
         .withColumn("content_sha256", F.sha2(F.col("content"), 256))
         .withColumn("description", F.substring_index(F.col("content"), "\n", 1))
-        .withColumn("functions", F.regexp_extract_all(F.col("content"), pattern, F.lit(1)))
+        # function names + their trailing body comments (≈ column descriptions,
+        # reference ColumnMetadata.description / Column→Description nodes,
+        # ``databuilder/models/table_metadata.py:156-190``). Dedup by name:
+        # duplicate function names in one file would expand to duplicate
+        # Column-node keys, and the keyed MERGE requires the batch to be
+        # unique per key (ADVICE r01). First occurrence keeps its rank and
+        # comment — deterministic.
+        .withColumn("__fn_raw", F.regexp_extract_all(F.col("content"), pattern, F.lit(1)))
+        .withColumn(
+            "__cm_raw",
+            F.regexp_extract_all(F.col("content"), F.lit(r"return [^\n#]*#\s*([^\n]*)"), F.lit(1)),
+        )
+        .withColumn(
+            "__fn_pairs",
+            F.filter(
+                F.transform(
+                    "__fn_raw",
+                    lambda fn, i: F.struct(
+                        fn.alias("fn"),
+                        # comments align positionally only when every function
+                        # body carries one; otherwise descriptions are unknown
+                        F.when(
+                            F.size("__cm_raw") == F.size("__fn_raw"),
+                            F.element_at("__cm_raw", i + F.lit(1)),
+                        ).alias("comment"),
+                    ),
+                ),
+                lambda p, i: F.array_position(F.col("__fn_raw"), p["fn"]) == i + 1,
+            ),
+        )
+        .withColumn("functions", F.col("__fn_pairs.fn"))
+        .withColumn("fn_comments", F.col("__fn_pairs.comment"))
+        .drop("__fn_raw", "__cm_raw", "__fn_pairs")
         .withColumn(
             "version",
             F.coalesce(

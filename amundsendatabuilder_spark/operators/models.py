@@ -120,7 +120,15 @@ def nodes_from_entities(e: DataFrame) -> DataFrame:
 
     cols = e.select(
         "table_key", "lang",
-        F.posexplode("functions").alias("sort_order", "fn_name"),
+        F.posexplode(
+            F.zip_with(
+                "functions", "fn_comments",
+                lambda fn, cm: F.struct(fn.alias("fn"), cm.alias("cm")),
+            )
+        ).alias("sort_order", "p"),
+    ).select(
+        "table_key", "lang", "sort_order",
+        F.col("p.fn").alias("fn_name"), F.col("p.cm").alias("fn_comment"),
     )
 
     shared = _union(
@@ -156,6 +164,17 @@ def nodes_from_entities(e: DataFrame) -> DataFrame:
                       sort_order=F.col("sort_order")),
                 _tmap(sort_order="int"), F.col("table_key"),
             ),
+            # per-column Description node (reference column description,
+            # ``table_metadata.py:123-127,176-180``): key = {col_key}/_description
+            _node(
+                cols.where(F.col("fn_comment").isNotNull()),
+                F.concat(F.col("table_key"), F.lit("/"), F.col("fn_name"),
+                         F.lit("/_description")),
+                "Description",
+                _smap(description=F.col("fn_comment"),
+                      description_source=F.lit("description")),
+                None, F.col("table_key"),
+            ),
             _node(
                 e, ts_key, "Timestamp",
                 _smap(last_updated_timestamp=F.col("last_updated_epoch"),
@@ -183,7 +202,18 @@ def relations_from_entities(e: DataFrame) -> DataFrame:
     ts_key = F.concat(tkey, F.lit("/timestamp"))
     wm_key = F.concat(tkey, F.lit("/high_watermark/"))
 
-    cols = e.select("table_key", F.explode("functions").alias("fn_name"))
+    cols = e.select(
+        "table_key",
+        F.explode(
+            F.zip_with(
+                "functions", "fn_comments",
+                lambda fn, cm: F.struct(fn.alias("fn"), cm.alias("cm")),
+            )
+        ).alias("p"),
+    ).select(
+        "table_key",
+        F.col("p.fn").alias("fn_name"), F.col("p.cm").alias("fn_comment"),
+    )
     col_key = F.concat(F.col("table_key"), F.lit("/"), F.col("fn_name"))
 
     shared = _union(
@@ -203,6 +233,12 @@ def relations_from_entities(e: DataFrame) -> DataFrame:
                  desc_key, "Description", "DESCRIPTION", "DESCRIPTION_OF", scope=scope),
             _rel(cols, F.col("table_key"), "Table", col_key, "Column",
                  "COLUMN", "COLUMN_OF", scope=F.col("table_key")),
+            _rel(
+                cols.where(F.col("fn_comment").isNotNull()),
+                col_key, "Column",
+                F.concat(col_key, F.lit("/_description")), "Description",
+                "DESCRIPTION", "DESCRIPTION_OF", scope=F.col("table_key"),
+            ),
             _rel(e, F.col("owner_email"), "User", tkey, "Table",
                  "OWNER_OF", "OWNER", scope=scope),
             _rel(e, tkey, "Table", ts_key, "Timestamp",
@@ -212,6 +248,33 @@ def relations_from_entities(e: DataFrame) -> DataFrame:
         ]
     )
     return shared.unionByName(scoped)
+
+
+def usage_user_nodes(usage: DataFrame) -> DataFrame:
+    """User nodes implied by a usage batch (reference ``TableColumnUsage``
+    node iterator, ``databuilder/models/table_column_usage.py:72-78``:
+    ``User(email=...)`` per reader). Input: (table_key, user_email, ...)."""
+    u = usage.select("user_email").dropDuplicates(["user_email"])
+    return _node(
+        u, F.col("user_email"), "User",
+        _smap(email=F.col("user_email"), is_active=F.lit(True)),
+        _tmap(is_active="bool"),
+    )
+
+
+def usage_relations(usage: DataFrame) -> DataFrame:
+    """Table-[READ_BY]->User relations with ``read_count`` (reference
+    ``TableColumnUsage`` relation iterator,
+    ``databuilder/models/table_column_usage.py:85-99``). Input rows:
+    (table_key, user_email, read_count) — one row per pair (pre-aggregated)."""
+    return _rel(
+        usage,
+        F.col("table_key"), "Table",
+        F.col("user_email"), "User",
+        "READ_BY", "READ",
+        attrs=_smap(read_count=F.col("read_count")),
+        types=_tmap(read_count="int"),
+    )
 
 
 def validate_nodes(nodes: DataFrame) -> DataFrame:

@@ -43,11 +43,15 @@ DOC_SCHEMA = T.StructType(
 )
 
 
-def docs_from_entities(e: DataFrame) -> DataFrame:
+def docs_from_entities(e: DataFrame, usage: DataFrame | None = None) -> DataFrame:
     """Incremental path: docs straight from extracted entity rows (no joins —
-    the entity row already carries everything the doc needs)."""
+    the entity row already carries everything the doc needs). ``usage``:
+    optional (key, total_usage, unique_usage) frame — the accumulated READ
+    state (reference ``SUM(read.read_count)`` / ``COUNT(DISTINCT user.email)``,
+    ``neo4j_search_data_extractor.py:40-42``) — left-joined in; absent keys
+    get 0, matching the Cypher OPTIONAL MATCH."""
     empty = F.array().cast(T.ArrayType(T.StringType()))
-    return e.select(
+    out = e.select(
         F.col("table_key").alias("key"),
         F.col("database"),
         F.col("cluster"),
@@ -57,13 +61,33 @@ def docs_from_entities(e: DataFrame) -> DataFrame:
         F.col("description"),
         F.col("last_updated_epoch").alias("last_updated_timestamp"),
         F.col("functions").alias("column_names"),
-        empty.alias("column_descriptions"),
-        F.lit(0).cast("long").alias("total_usage"),
-        F.lit(0).cast("long").alias("unique_usage"),
+        # non-null trailing comments in column order (Cypher COLLECT skips
+        # nulls, so alignment with column_names is best-effort — same as ref)
+        F.filter(F.col("fn_comments"), lambda c: c.isNotNull()).alias(
+            "column_descriptions"
+        ),
         F.array(F.col("lang")).alias("tags"),
         empty.alias("badges"),
         F.lit(None).cast("string").alias("schema_description"),
         empty.alias("programmatic_descriptions"),
+    )
+    if usage is None:
+        return out.select(
+            *out.columns[:10],
+            F.lit(0).cast("long").alias("total_usage"),
+            F.lit(0).cast("long").alias("unique_usage"),
+            *out.columns[10:],
+        )
+    u = usage.select(
+        "key",
+        F.col("total_usage").cast("long").alias("__tu"),
+        F.col("unique_usage").cast("long").alias("__uu"),
+    )
+    return out.join(u, "key", "left").select(
+        *out.columns[:10],
+        F.coalesce(F.col("__tu"), F.lit(0)).cast("long").alias("total_usage"),
+        F.coalesce(F.col("__uu"), F.lit(0)).cast("long").alias("unique_usage"),
+        *out.columns[10:],
     )
 
 
@@ -91,18 +115,50 @@ def docs_from_graph(nodes: DataFrame, relations: DataFrame) -> DataFrame:
         F.regexp_replace(F.col("key"), "/_description$", "").alias("key"),
         F.col("attributes")["description"].alias("description"),
     )
+    # columns + their description nodes (key = {col_key}/_description),
+    # ordered by sort_order; COLLECT of descriptions skips nulls (Cypher)
+    # (the left join against Column keys below is what scopes these to
+    # column descriptions — a table's description strips to the table key,
+    # which is never a Column key)
+    col_descs = n.where(F.col("label") == "Description").select(
+        F.regexp_replace(F.col("key"), "/_description$", "").alias("col_key"),
+        F.col("attributes")["description"].alias("col_desc"),
+    )
     cols = (
         n.where(F.col("label") == "Column")
+        .join(col_descs, F.col("key") == F.col("col_key"), "left")
         .select(
             F.regexp_extract(F.col("key"), "^(.*)/[^/]+$", 1).alias("key"),
             F.struct(
                 F.col("attributes")["sort_order"].cast("int").alias("so"),
                 F.col("attributes")["name"].alias("name"),
+                F.col("col_desc").alias("desc"),
             ).alias("c"),
         )
         .groupBy("key")
         .agg(F.sort_array(F.collect_list("c")).alias("cs"))
-        .select("key", F.col("cs.name").alias("column_names"))
+        .select(
+            "key",
+            F.col("cs.name").alias("column_names"),
+            F.filter(F.col("cs.desc"), lambda d: d.isNotNull()).alias(
+                "column_descriptions"
+            ),
+        )
+    )
+    # READ_BY usage aggregation (reference SUM(read.read_count) +
+    # COUNT(DISTINCT user.email), neo4j_search_data_extractor.py:40-42)
+    usage = (
+        relations.where(F.col("type") == "READ_BY")
+        .select(
+            F.col("start_key").alias("key"),
+            F.col("end_key").alias("user"),
+            F.col("attributes")["read_count"].cast("long").alias("rc"),
+        )
+        .groupBy("key")
+        .agg(
+            F.sum("rc").alias("total_usage"),
+            F.countDistinct("user").alias("unique_usage"),
+        )
     )
     ts = n.where(F.col("label") == "Timestamp").select(
         F.regexp_replace(F.col("key"), "/timestamp$", "").alias("key"),
@@ -122,6 +178,7 @@ def docs_from_graph(nodes: DataFrame, relations: DataFrame) -> DataFrame:
         .join(cols, "key", "left")
         .join(ts, "key", "left")
         .join(tags, "key", "left")
+        .join(usage, "key", "left")
     )
     return spine.select(
         "key",
@@ -133,9 +190,9 @@ def docs_from_graph(nodes: DataFrame, relations: DataFrame) -> DataFrame:
         F.col("description"),
         F.col("last_updated_timestamp"),
         F.coalesce(F.col("column_names"), empty).alias("column_names"),
-        empty.alias("column_descriptions"),
-        F.lit(0).cast("long").alias("total_usage"),
-        F.lit(0).cast("long").alias("unique_usage"),
+        F.coalesce(F.col("column_descriptions"), empty).alias("column_descriptions"),
+        F.coalesce(F.col("total_usage"), F.lit(0)).cast("long").alias("total_usage"),
+        F.coalesce(F.col("unique_usage"), F.lit(0)).cast("long").alias("unique_usage"),
         F.coalesce(F.col("tags"), empty).alias("tags"),
         empty.alias("badges"),
         F.lit(None).cast("string").alias("schema_description"),

@@ -134,29 +134,67 @@ class SnapshotTable:
             ]
         )
 
+    def _live_rows(self, raw: DataFrame, keys: list[str]) -> DataFrame:
+        """Rows that are still in play per key: everything after the latest
+        delete marker (the "delete cut"). Two-step resolve so MoR matches CoW
+        full-outer-join semantics for create-only rows written AFTER a delete
+        (a co row must re-create the key once a delete emptied it), regardless
+        of compaction timing. The cut scan is column-pruned (keys+seq+del);
+        the join shuffles on the key and the downstream groupBy reuses that
+        partitioning."""
+        dm = F.coalesce(F.col(MOR_DEL), F.lit(False))
+        cuts = (
+            raw.where(dm)
+            .groupBy(*keys)
+            .agg(F.max(MOR_SEQ).alias("__cut"))
+        )
+        return (
+            raw.join(cuts, keys, "left")
+            .where(
+                ~dm & (F.col("__cut").isNull() | (F.col(MOR_SEQ) > F.col("__cut")))
+            )
+            .drop("__cut")
+        )
+
     def _resolve(self, raw: DataFrame, schema: T.StructType,
-                 keys: list[str]) -> DataFrame:
-        """MoR read-side LWW: winner per key = max __seq (min for create-only
-        rows — first writer wins), delete markers drop the key. One
-        aggregation with map-side partial combine."""
+                 keys: list[str], keep_service: bool = False) -> DataFrame:
+        """MoR read-side LWW over the live rows: winner per key = max __seq
+        for normal rows, min __seq for create-only rows (first writer wins —
+        a later non-co row always beats any co row because its seq is
+        positive). One aggregation with map-side partial combine.
+        ``keep_service`` keeps the winner's __seq/__del/__co columns (used by
+        compaction so rewritten base rows preserve their merge order)."""
         payload = [f.name for f in schema.fields if f.name not in keys]
+        live = self._live_rows(raw, keys)
         eff_seq = F.when(
             F.coalesce(F.col(MOR_CO), F.lit(False)), -F.col(MOR_SEQ)
         ).otherwise(F.col(MOR_SEQ))
         # max_by: ordering key must be orderable, but the VALUE may carry
         # maps/arrays (node attribute maps are not comparable types)
+        service = (
+            [
+                F.col(MOR_SEQ).alias(MOR_SEQ),
+                F.coalesce(F.col(MOR_CO), F.lit(False)).alias(MOR_CO),
+            ]
+            if keep_service
+            else []
+        )
         w = F.max_by(
-            F.struct(
-                F.coalesce(F.col(MOR_DEL), F.lit(False)).alias(MOR_DEL),
-                *[F.col(c) for c in payload],
-            ),
-            eff_seq,
+            F.struct(*service, *[F.col(c) for c in payload]), eff_seq
         ).alias("__w")
+        out_extra = (
+            [
+                F.col(f"__w.{MOR_SEQ}").alias(MOR_SEQ),
+                F.lit(False).alias(MOR_DEL),
+                F.col(f"__w.{MOR_CO}").alias(MOR_CO),
+            ]
+            if keep_service
+            else []
+        )
         return (
-            raw.groupBy(*keys)
+            live.groupBy(*keys)
             .agg(w)
-            .where(~F.col(f"__w.{MOR_DEL}"))
-            .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload])
+            .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload], *out_extra)
         )
 
     def _all_files(self, snap: Snapshot, buckets: list[int] | None = None) -> list[str]:
@@ -203,6 +241,24 @@ class SnapshotTable:
     # ---- schema evolution ----------------------------------------------
 
     @staticmethod
+    def _relax(dt: T.DataType) -> T.DataType:
+        """Recursively drop nullability — evolution compares value types only
+        (a non-nullable batch column writes fine into a nullable table one)."""
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [T.StructField(f.name, SnapshotTable._relax(f.dataType), True)
+                 for f in dt.fields]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(SnapshotTable._relax(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                SnapshotTable._relax(dt.keyType),
+                SnapshotTable._relax(dt.valueType), True,
+            )
+        return dt
+
+    @staticmethod
     def _evolve(table_schema: T.StructType, batch_schema: T.StructType,
                 ignore: set[str]) -> T.StructType:
         """Additive union: batch columns not yet in the table are appended.
@@ -213,13 +269,13 @@ class SnapshotTable:
             if f.name in ignore:
                 continue
             if f.name in existing:
-                if existing[f.name].dataType != f.dataType:
+                if SnapshotTable._relax(existing[f.name].dataType) != SnapshotTable._relax(f.dataType):
                     raise ValueError(
                         f"incompatible type change for column {f.name}: "
                         f"{existing[f.name].dataType} -> {f.dataType}"
                     )
             else:
-                out.append(T.StructField(f.name, f.dataType, True))
+                out.append(T.StructField(f.name, SnapshotTable._relax(f.dataType), True))
         return T.StructType(out)
 
     # ---- merge strategies -------------------------------------------------
@@ -269,20 +325,35 @@ class SnapshotTable:
         )
         return merged, obs
 
+    def _merge_counts(self, src, target, keys) -> dict[str, int]:
+        """Deterministic lineage counts via a direct aggregation (one extra
+        batch-sized job). Used (a) for the ``bucketed`` strategy, where
+        accumulators inside ``mapInPandas`` would double-count on task retries
+        or speculation, and (b) as the fallback when the join strategy's
+        Observation cannot materialize (empty written plan — an all-delete or
+        all-gated-out batch; ADVICE r01)."""
+        t_keys = target.select(*keys).withColumn("__t", F.lit(True))
+        row = (
+            src.join(t_keys, list(keys), "left")
+            .agg(
+                F.count(F.lit(1)).alias("rows_seen"),
+                F.sum((F.col("__del") & F.col("__t").isNotNull()).cast("long")).alias("rows_deleted"),
+                F.sum((~F.col("__del") & F.col("__t").isNull()).cast("long")).alias("rows_inserted"),
+                F.sum((~F.col("__del") & F.col("__t").isNotNull() & ~F.col("__co")).cast("long")).alias("rows_updated"),
+            )
+            .first()
+        )
+        return {k: int(row[k] or 0) for k in
+                ("rows_seen", "rows_inserted", "rows_updated", "rows_deleted")}
+
     def _merge_bucketed(self, src, target, new_schema, keys, n_buckets, tag, now_ms):
         """Scale strategy: ONE shuffle. bucket = hash(key) ⇒ repartitioning
         the (target ∪ batch) union on ``__bucket`` colocates every key; a
         vectorized pandas reducer picks the winner per key inside each
         partition and the write is already bucket-aligned. Catalyst cannot
         know bucket = f(key), so this co-located merge is expressed with
-        ``mapInPandas`` (Arrow-batched) rather than a join."""
-        sc = self.spark.sparkContext
-        counters = {
-            "rows_seen": sc.accumulator(0),
-            "rows_inserted": sc.accumulator(0),
-            "rows_updated": sc.accumulator(0),
-            "rows_deleted": sc.accumulator(0),
-        }
+        ``mapInPandas`` (Arrow-batched) rather than a join. Lineage counts
+        are computed by the caller via :meth:`_merge_counts` (retry-safe)."""
         data_cols = [f.name for f in new_schema.fields]
         bexpr = _bucket_expr(keys, n_buckets)
 
@@ -318,24 +389,14 @@ class SnapshotTable:
             pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
             pdf["__del"] = pdf["__del"].fillna(False).astype(bool)
             pdf["__co"] = pdf["__co"].fillna(False).astype(bool)
-            # priority: create-only source (-1) < target (0) < source (1)
+            # priority: create-only source (-1) < target (0) < source (1);
+            # a delete row KEEPS priority 1 even when flagged create-only —
+            # matches _merge_join, where __is_del wins over __co (ADVICE r01)
             pri = pdf["__src"].to_numpy(dtype="int8").copy()
-            pri[(pri == 1) & pdf["__co"].to_numpy()] = -1
+            pri[(pri == 1) & pdf["__co"].to_numpy() & ~pdf["__del"].to_numpy()] = -1
             pdf["__pri"] = pri
             pdf = pdf.sort_values(key_cols + ["__pri"], kind="stable")
             winners = pdf.drop_duplicates(subset=key_cols, keep="last")
-
-            src_rows = pdf[pdf["__src"] == 1]
-            tgt_keys = pd.MultiIndex.from_frame(pdf.loc[pdf["__src"] == 0, key_cols])
-            src_keys = pd.MultiIndex.from_frame(src_rows[key_cols])
-            existed = src_keys.isin(tgt_keys)
-            counters["rows_seen"].add(int(len(src_rows)))
-            src_del = src_rows["__del"].to_numpy()
-            counters["rows_deleted"].add(int((src_del & existed).sum()))
-            counters["rows_inserted"].add(int((~src_del & ~existed).sum()))
-            src_co = src_rows["__co"].to_numpy()
-            counters["rows_updated"].add(int((~src_del & existed & ~src_co).sum()))
-
             out = winners[~winners["__del"].to_numpy()].copy()
             won = out["__src"].to_numpy() == 1
             if "publish_tag" in out.columns:
@@ -348,7 +409,7 @@ class SnapshotTable:
         merged = unioned.repartition(n_part, "__bucket").mapInPandas(
             resolve, schema=out_schema
         )
-        return merged, counters
+        return merged
 
     # ---- merge (the upsert) ----------------------------------------------
 
@@ -361,11 +422,12 @@ class SnapshotTable:
         create_only_col: str | None = None,
         publish_tag: str | None = None,
         strategy: str = "join",
+        check_unique: bool | None = None,
     ) -> dict[str, Any]:
         """Idempotent keyed upsert of one micro-batch: prepare + commit."""
         prep = self.prepare_upsert(
             batch, epoch_id, channel, delete_col, create_only_col, publish_tag,
-            strategy,
+            strategy, check_unique,
         )
         if prep is None:
             return {"skipped_epoch": epoch_id, "channel": channel}
@@ -380,6 +442,7 @@ class SnapshotTable:
         create_only_col: str | None = None,
         publish_tag: str | None = None,
         strategy: str = "join",
+        check_unique: bool | None = None,
     ) -> dict[str, Any] | None:
         """Heavy phase of the upsert: compute + write the new data files.
         Thread-safe across DIFFERENT tables — the pipeline prepares all four
@@ -438,6 +501,26 @@ class SnapshotTable:
             batch = batch.coalesce(target_p)
         batch = batch.localCheckpoint(eager=True)
 
+        # multi-match guard (Iceberg rule): the merge silently keeps duplicate
+        # key rows if the batch violates the unique-per-key contract, so fail
+        # loudly instead when checking is enabled (default: on under pytest /
+        # SPARK_CDC_CHECK_UNIQUE=1; off in production ingest — one extra
+        # batch-sized aggregation job per table per epoch)
+        if check_unique is None:
+            check_unique = os.environ.get(
+                "SPARK_CDC_CHECK_UNIQUE", "1" if "PYTEST_CURRENT_TEST" in os.environ else "0"
+            ) == "1"
+        if check_unique:
+            dup = (
+                batch.groupBy(*keys).count().where(F.col("count") > 1)
+                .limit(5).collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge batch for {self.root} has duplicate keys (MERGE "
+                    f"multi-match, first 5): {[tuple(r[k] for k in keys) for r in dup]}"
+                )
+
         touched = [r[0] for r in batch.select("__bucket").distinct().collect()]
 
         if snap.mode == "mor":
@@ -461,11 +544,11 @@ class SnapshotTable:
 
         epoch_dir = os.path.join(self.data_dir, f"e{epoch_id}_{uuid.uuid4().hex[:8]}")
         if strategy == "bucketed":
-            merged, counters = self._merge_bucketed(
+            merged = self._merge_bucketed(
                 src, target, new_schema, keys, snap.n_buckets, tag, now_ms
             )
             merged.write.partitionBy("__bucket").mode("overwrite").parquet(epoch_dir)
-            m = {k: v.value for k, v in counters.items()}
+            m = self._merge_counts(src, target, keys)
         else:
             merged, obs = self._merge_join(
                 src, target, new_schema, keys, snap.n_buckets, tag, now_ms
@@ -474,7 +557,14 @@ class SnapshotTable:
             merged.repartition("__bucket").write.partitionBy("__bucket").mode(
                 "overwrite"
             ).parquet(epoch_dir)
-            m = obs.get
+            try:
+                m = obs.get
+            except Exception:
+                # empty written plan (all-delete / all-gated-out batch): the
+                # Observation row never materializes and obs.get raises a JVM
+                # AssertionError (ADVICE r01) — recompute counts directly so
+                # streaming replay can't get permanently stuck on this epoch
+                m = self._merge_counts(src, target, keys)
 
         # per-bucket lineage from the written layout (footer-free: dir listing)
         new_files: dict[str, list[str]] = {}
@@ -555,7 +645,15 @@ class SnapshotTable:
         deltas = {b: list(fl) for b, fl in snap.delta_files.items()}
         for b, fl in new_files.items():
             deltas.setdefault(b, []).extend(fl)
-        m = obs.get
+        try:
+            m = obs.get
+        except Exception:
+            # empty batch: Observation never materializes (see cow path)
+            row = batch.agg(
+                F.count(F.lit(1)).alias("rows_seen"),
+                F.sum(F.col("__del").cast("long")).alias("rows_delete_markers"),
+            ).first()
+            m = {k: int(row[k] or 0) for k in ("rows_seen", "rows_delete_markers")}
         metrics = {
             "epoch": epoch_id,
             "channel": channel,
@@ -613,30 +711,11 @@ class SnapshotTable:
                  snap.files.get(b, []) + snap.delta_files.get(b, [])]
         raw = self._read_files(files, mor_schema)
         keys = snap.key_cols
-        payload = [f.name for f in snap.schema().fields if f.name not in keys]
-        # resolve but KEEP rows' seq/co and drop deleted keys entirely
-        eff_seq = F.when(F.coalesce(F.col(MOR_CO), F.lit(False)), -F.col(MOR_SEQ)).otherwise(F.col(MOR_SEQ))
-        w = F.max_by(
-            F.struct(
-                F.coalesce(F.col(MOR_DEL), F.lit(False)).alias(MOR_DEL),
-                F.col(MOR_SEQ).alias(MOR_SEQ),
-                F.coalesce(F.col(MOR_CO), F.lit(False)).alias(MOR_CO),
-                *[F.col(c) for c in payload],
-            ),
-            eff_seq,
-        ).alias("__w")
-        resolved = (
-            raw.groupBy(*keys)
-            .agg(w)
-            .where(~F.col(f"__w.{MOR_DEL}"))
-            .select(
-                *keys,
-                *[F.col(f"__w.{c}").alias(c) for c in payload],
-                F.col(f"__w.{MOR_SEQ}").alias(MOR_SEQ),
-                F.lit(False).alias(MOR_DEL),
-                F.col(f"__w.{MOR_CO}").alias(MOR_CO),
-                _bucket_expr(keys, snap.n_buckets).alias("__bucket"),
-            )
+        # resolve but KEEP rows' seq/co (merge order survives the rewrite);
+        # deleted keys drop entirely — safe because compaction also removes
+        # every row at-or-before the delete cut, so nothing can resurrect
+        resolved = self._resolve(raw, snap.schema(), keys, keep_service=True).withColumn(
+            "__bucket", _bucket_expr(keys, snap.n_buckets)
         )
         out_dir = os.path.join(self.data_dir, f"c{uuid.uuid4().hex[:8]}")
         n_part = max(1, min(snap.n_buckets, self.spark.sparkContext.defaultParallelism * 2))
@@ -743,29 +822,8 @@ class SnapshotTable:
             raw = self._read_files(
                 self._all_files(snap, touched), self._mor_schema(schema)
             )
-            keys = snap.key_cols
-            payload = [f.name for f in schema.fields if f.name not in keys]
-            eff_seq = F.when(F.coalesce(F.col(MOR_CO), F.lit(False)), -F.col(MOR_SEQ)).otherwise(F.col(MOR_SEQ))
-            w = F.max(
-                F.struct(
-                    eff_seq.alias("__o"),
-                    F.coalesce(F.col(MOR_DEL), F.lit(False)).alias(MOR_DEL),
-                    F.col(MOR_SEQ).alias(MOR_SEQ),
-                    F.coalesce(F.col(MOR_CO), F.lit(False)).alias(MOR_CO),
-                    *[F.col(c) for c in payload],
-                )
-            ).alias("__w")
             kept = (
-                raw.groupBy(*keys)
-                .agg(w)
-                .where(~F.col(f"__w.{MOR_DEL}"))
-                .select(
-                    *keys,
-                    *[F.col(f"__w.{c}").alias(c) for c in payload],
-                    F.col(f"__w.{MOR_SEQ}").alias(MOR_SEQ),
-                    F.lit(False).alias(MOR_DEL),
-                    F.col(f"__w.{MOR_CO}").alias(MOR_CO),
-                )
+                self._resolve(raw, schema, snap.key_cols, keep_service=True)
                 .where(~F.coalesce(cond, F.lit(False)))  # null cond ⇒ keep
                 .withColumn("__bucket", bexpr)
             )

@@ -46,6 +46,8 @@ from amundsendatabuilder_spark.operators.models import (
     REL_SCHEMA,
     nodes_from_entities,
     relations_from_entities,
+    usage_relations,
+    usage_user_nodes,
     validate_nodes,
     validate_relations,
 )
@@ -125,6 +127,30 @@ class CDCPipeline:
         self.search_documents = self.lake.create_table(
             "search_documents", DOC_SCHEMA, DOC_KEYS, n_buckets=n_buckets, mode=table_mode
         )
+        # accumulated READ state per table: per-user counts (sorted array —
+        # deterministic across parallelism) + the two doc-level aggregates.
+        # Fed by apply_usage; read (bucket-pruned) to decorate docs.
+        usage_schema = T.StructType(
+            [
+                T.StructField("key", T.StringType()),
+                T.StructField(
+                    "readers",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("user_email", T.StringType()),
+                                T.StructField("read_count", T.LongType()),
+                            ]
+                        )
+                    ),
+                ),
+                T.StructField("total_usage", T.LongType()),
+                T.StructField("unique_usage", T.LongType()),
+            ]
+        )
+        self.table_usage = self.lake.create_table(
+            "table_usage", usage_schema, DOC_KEYS, n_buckets=n_buckets, mode=table_mode
+        )
 
     # -- the foreachBatch body -------------------------------------------
 
@@ -145,13 +171,18 @@ class CDCPipeline:
         winners = winners.localCheckpoint(eager=True)  # cut lineage; reused 4×
         mark("dedup+ckpt")
 
-        # current ordering state for the touched keys — INCLUDING tombstones
-        # (a deleted entity must keep winning against late stale events).
-        # Narrow projection: the gate needs only the LWW ordering columns —
-        # never drag `content` (the widest column) through this read.
+        # current state for the touched keys — INCLUDING tombstones (a deleted
+        # entity must keep winning against late stale events). ONE pruned
+        # point-lookup serves both the LWW gate (ordering columns) and the
+        # child-diff expansion (feature columns); `content` — the widest
+        # column — is never re-read after ingest. Fusing the two reads halves
+        # the O(1)-per-epoch driver-job fixed cost of the old-state phase.
+        feature_cols = [
+            f.name for f in self.repo_files.current().schema().fields
+            if f.name not in ("content", "publish_tag", "updated_ms")
+        ]
         old_all = self.repo_files.read_for_keys(
-            winners.select(*ENTITY_KEYS),
-            columns=["event_ts", "commit", "is_deleted"],
+            winners.select(*ENTITY_KEYS), columns=feature_cols
         ).localCheckpoint(eager=True)
         mark("old_state+ckpt")
 
@@ -189,19 +220,15 @@ class CDCPipeline:
             .localCheckpoint(eager=True)
         )
         mark("extract+ckpt")
-        # diffs only for keys whose state actually changes; active rows only.
-        # Second pruned read: expansion features but NOT content (expansions
-        # run on extracted features; content is never re-read after ingest)
-        feature_cols = [c for c in new_entities.columns if c not in ("content",)]
+        # diffs only for keys whose state ACTUALLY changes: restrict the old
+        # rows to effective keys (old_all covers all winner keys — children of
+        # gated-out keys must NOT enter the diff or they would be deleted),
+        # live rows only. Narrow ops over the two checkpointed frames.
         old_entities = (
-            self.repo_files.read_for_keys(
-                effective.select(*ENTITY_KEYS),
-                columns=feature_cols + ["is_deleted"],
-            )
+            old_all.join(effective.select(*ENTITY_KEYS), ENTITY_KEYS, "left_semi")
             .where(~F.col("is_deleted"))
             .drop("is_deleted")
             .withColumn("content", F.lit(None).cast("string"))
-            .localCheckpoint(eager=True)
         )
 
         new_nodes = validate_nodes(nodes_from_entities(new_entities))
@@ -244,8 +271,18 @@ class CDCPipeline:
         doc_dels = deletes.select(
             K.table_key(F.col("repo"), F.col("path"), self.cluster).alias("key")
         ).withColumn("__delete", F.lit(True))
+        # decorate rebuilt docs with accumulated READ usage (bucket-pruned
+        # point lookup); skipped at zero cost while no usage has ever been
+        # ingested (manifest-only check, no Spark job)
+        u_snap = self.table_usage.current()
+        usage = None
+        if u_snap.files or u_snap.delta_files:
+            usage = self.table_usage.read_for_keys(
+                new_entities.select(F.col("table_key").alias("key")),
+                columns=["total_usage", "unique_usage"],
+            )
         doc_batch = (
-            docs_from_entities(new_entities)
+            docs_from_entities(new_entities, usage)
             .withColumn("__delete", F.lit(False))
             .unionByName(doc_dels, allowMissingColumns=True)
         )
@@ -324,6 +361,101 @@ class CDCPipeline:
             json.dump(metrics, f, sort_keys=True)
         return metrics
 
+    # -- the usage channel (BigQueryTableUsageExtractor → TableColumnUsage) --
+
+    def apply_usage(self, usage: DataFrame, epoch_id: int) -> dict[str, Any]:
+        """Ingest one micro-batch of usage deltas ``(repo, path, user_email,
+        read_count)`` — the reference's audit-log usage path
+        (``databuilder/extractor/bigquery_usage_extractor.py:47-110`` counts →
+        ``TableColumnUsage`` READ_BY relations → search-doc usage aggregates,
+        ``neo4j_search_data_extractor.py:40-42``).
+
+        Per batch: (1) accumulate per-(table,user) counts into ``table_usage``
+        (read old state for touched keys — bucket-pruned — and re-aggregate);
+        (2) MERGE User nodes and Table-[READ_BY]->User relations, read_count =
+        the accumulated total (idempotent overwrite, matching the reference's
+        MERGE ... SET); relations only for tables that exist (the reference
+        publisher's relation MERGE starts with MATCH on both nodes);
+        (3) rebuild + MERGE search docs for the touched tables. Commit order:
+        derived tables first, ``table_usage`` LAST as the epoch marker —
+        crash-replay recomputes byte-identical merges (exactly-once)."""
+        if self.table_usage.last_epoch("usage") >= epoch_id:
+            return {"epoch": epoch_id, "skipped": True}
+
+        tkey = K.table_key(F.col("repo"), F.col("path"), self.cluster)
+        delta = (
+            usage.groupBy(tkey.alias("table_key"), F.col("user_email"))
+            .agg(F.sum(F.col("read_count").cast("long")).alias("read_count"))
+            .localCheckpoint(eager=True)
+        )
+        keys = delta.select(F.col("table_key").alias("key")).dropDuplicates(["key"])
+
+        old = self.table_usage.read_for_keys(keys, columns=["readers"]).select(
+            F.col("key").alias("table_key"),
+            F.explode("readers").alias("r"),
+        ).select("table_key", F.col("r.user_email").alias("user_email"),
+                 F.col("r.read_count").alias("read_count"))
+        combined_pairs = (
+            old.unionByName(delta)
+            .groupBy("table_key", "user_email")
+            .agg(F.sum("read_count").alias("read_count"))
+            .localCheckpoint(eager=True)
+        )
+        usage_rows = combined_pairs.groupBy(F.col("table_key").alias("key")).agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("user_email"), F.col("read_count")))
+            ).alias("readers"),
+            F.sum("read_count").alias("total_usage"),
+            F.countDistinct("user_email").alias("unique_usage"),
+        )
+
+        tag = f"usage_epoch_{epoch_id}"
+        # rebuild docs only for LIVE touched tables; READ_BY relations only
+        # for tables whose node exists (reference publisher MATCHes both ends)
+        feature_cols = [
+            f.name for f in self.repo_files.current().schema().fields
+            if f.name not in ("content", "publish_tag", "updated_ms")
+        ]
+        ents = (
+            self.repo_files.read_for_keys(
+                usage.select(*ENTITY_KEYS).dropDuplicates(ENTITY_KEYS),
+                columns=feature_cols,
+            )
+            .where(~F.col("is_deleted"))
+            .drop("is_deleted")
+            .withColumn("content", F.lit(None).cast("string"))
+            .localCheckpoint(eager=True)
+        )
+        existing_keys = ents.select(F.col("table_key"))
+        node_batch = validate_nodes(usage_user_nodes(delta)).drop("scope_key")
+        rel_batch = validate_relations(
+            usage_relations(
+                combined_pairs.join(existing_keys, "table_key", "left_semi")
+            )
+        ).drop("scope_key")
+        doc_batch = docs_from_entities(ents, usage_rows)
+
+        jobs = {
+            "nodes": (self.graph_nodes, node_batch,
+                      {"create_only_col": None}),
+            "rels": (self.graph_relations, rel_batch, {}),
+            "docs": (self.search_documents, doc_batch, {}),
+            "usage": (self.table_usage, usage_rows, {}),
+        }
+        preps = {
+            name: tbl.prepare_upsert(b, epoch_id, channel="usage",
+                                     publish_tag=tag, **kw)
+            for name, (tbl, b, kw) in jobs.items()
+        }
+        out: dict[str, Any] = {"epoch": epoch_id}
+        for name in ("nodes", "rels", "docs", "usage"):
+            p = preps[name]
+            out[name] = (
+                {"skipped_epoch": epoch_id} if p is None
+                else jobs[name][0].commit_prepared(p)
+            )
+        return out
+
     # -- reads / maintenance ------------------------------------------------
 
     def current_entities(self) -> DataFrame:
@@ -365,6 +497,9 @@ class CDCPipeline:
         stream = (
             self.spark.readStream.schema(CHANGELOG_SCHEMA)
             .option("maxFilesPerTrigger", max_files_per_trigger)
+            # changelog layouts nest chunk dirs (write_changelog_chunks);
+            # without this the file source silently matches zero files
+            .option("recursiveFileLookup", "true")
             .parquet(source_dir)
         )
         writer = (

@@ -1,0 +1,135 @@
+"""JDBC source family: REAL spark.read.jdbc against embedded Derby (ships
+with Spark), dialect SQL registry sanity, and the TableMetadata regroup —
+mirroring tests/unit/extractor/test_hive_table_metadata_extractor.py and
+test_sql_alchemy_extractor.py in the reference."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from amundsendatabuilder_spark.sources.jdbc import (
+    DIALECT_METADATA_SQL,
+    jdbc_query,
+    metadata_scan,
+    regroup_to_table_metadata,
+)
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby") / "metastore"
+    url = f"jdbc:derby:{db};create=true"
+    # seed an information_schema-shaped table through the real JDBC write path
+    rows = [
+        # schema, name, description, col_name, col_desc, col_type, sort, view
+        ("core", "orders", "all orders", "order_id", "pk", "bigint", 0, False),
+        ("core", "orders", "all orders", "amount", "usd", "double", 1, False),
+        # Derby + createTableColumnTypes rejects setNull(CLOB) into VARCHAR —
+        # missing descriptions are seeded as '' and NULLIF'd in the scan SQL
+        ("core", "orders", "all orders", "ts", "", "timestamp", 2, False),
+        ("core", "users_v", "", "user_id", "pk", "bigint", 0, True),
+        ("ops", "events", "event log", "event_id", "", "bigint", 0, False),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "schema_name string, table_name string, description string, "
+        "col_name string, col_description string, col_type string, "
+        "col_sort_order int, is_view boolean",
+    )
+    df.write.format("jdbc").option("url", url).option("driver", DERBY_DRIVER) \
+        .option("dbtable", "metastore_cols") \
+        .option(
+            "createTableColumnTypes",
+            "schema_name VARCHAR(64), table_name VARCHAR(64), "
+            "description VARCHAR(256), col_name VARCHAR(64), "
+            "col_description VARCHAR(256), col_type VARCHAR(64)",
+        ).mode("overwrite").save()
+    return url
+
+
+def test_jdbc_query_pushdown_roundtrip(spark, derby_url):
+    """SQLAlchemyExtractor parity: arbitrary SQL runs SOURCE-side."""
+    out = jdbc_query(
+        spark, derby_url,
+        'SELECT "schema_name", "table_name", "col_name" FROM metastore_cols '
+        'WHERE "schema_name" = \'core\'',
+        driver=DERBY_DRIVER,
+    )
+    got = {(r["schema_name"], r["table_name"], r["col_name"]) for r in out.collect()}
+    assert got == {
+        ("core", "orders", "order_id"), ("core", "orders", "amount"),
+        ("core", "orders", "ts"), ("core", "users_v", "user_id"),
+    }
+
+
+def test_jdbc_metadata_scan_and_regroup(spark, derby_url):
+    """Full dialect-extractor shape end-to-end over real JDBC: per-column
+    rows → regroup → TableMetadata rows (golden, mirroring the reference
+    hive extractor unit test expectations)."""
+    sql = (
+        'SELECT \'derby\' AS "database", \'gold\' AS "cluster", "schema_name" AS "schema", '
+        '"table_name" AS "name", NULLIF("description", \'\') AS "description", "col_name", '
+        'NULLIF("col_description", \'\') AS "col_description", '
+        '"col_type", "col_sort_order", "is_view" FROM metastore_cols'
+    )
+    rows = jdbc_query(spark, derby_url, sql, driver=DERBY_DRIVER)
+    rows = rows.toDF(*[c.lower() for c in rows.columns])
+    tm = {(r["schema"], r["name"]): r for r in regroup_to_table_metadata(rows).collect()}
+    orders = tm[("core", "orders")]
+    assert orders["description"] == "all orders"
+    assert orders["is_view"] is False
+    assert [c["name"] for c in orders["columns"]] == ["order_id", "amount", "ts"]
+    assert [c["col_type"] for c in orders["columns"]] == ["bigint", "double", "timestamp"]
+    assert orders["columns"][0]["description"] == "pk"
+    assert tm[("core", "users_v")]["is_view"] is True
+    assert len(tm) == 3
+
+    # regrouped output feeds the TableMetadata node expansion directly
+    from amundsendatabuilder_spark.operators.amundsen_models import (
+        table_metadata_nodes,
+    )
+    from amundsendatabuilder_spark.sources.jdbc import explode_table_columns
+
+    tables = regroup_to_table_metadata(rows)
+    nodes = table_metadata_nodes(tables, explode_table_columns(tables))
+    keys = {r["key"] for r in nodes.collect()}
+    assert "derby://gold.core/orders" in keys
+    assert "derby://gold.core/orders/amount" in keys
+    assert "derby://gold.core/orders/order_id/_description" in keys
+
+
+def test_dialect_registry_formats(spark):
+    """Every dialect SQL templates cleanly with the standard slots and keeps
+    the standard column contract aliases."""
+    import re
+
+    for dialect in DIALECT_METADATA_SQL:
+        with pytest.raises(Exception):
+            # no live warehouse for these dialects in-sandbox: the read must
+            # fail at CONNECTION time, proving the SQL formatted fine
+            metadata_scan(
+                spark, "jdbc:derby:/nonexistent-db-dir", dialect,
+                where_clause_suffix="WHERE 1=1", driver=DERBY_DRIVER,
+            )
+        sql = DIALECT_METADATA_SQL[dialect]
+        for alias in ("col_name", "col_type", "col_sort_order", "is_view"):
+            assert re.search(alias, sql, re.I), (dialect, alias)
+    with pytest.raises(ValueError, match="unknown dialect"):
+        metadata_scan(spark, "jdbc:x", "oracle9i")
+
+
+def test_jdbc_partitioned_read_options(spark, derby_url):
+    """Parallel scan options reach the reader (fan-out vs the reference's
+    single cursor)."""
+    out = jdbc_query(
+        spark, derby_url,
+        'SELECT "col_sort_order" AS csort, "col_name" FROM metastore_cols',
+        driver=DERBY_DRIVER,
+        partition_column="csort", lower_bound=0, upper_bound=3,
+        num_partitions=2,
+    )
+    assert out.rdd.getNumPartitions() == 2
+    assert out.count() == 5
+    with pytest.raises(ValueError, match="partitioned read"):
+        jdbc_query(spark, derby_url, "SELECT 1", partition_column="x")

@@ -196,3 +196,78 @@ def test_mor_merge_semantics(spark, warehouse):
     v = t.current().version
     m = t.merge_upsert(spark.createDataFrame([("zzz", "Z", 1)], SCHEMA), 5)
     assert "skipped_epoch" in m and t.current().version == v
+
+
+def test_empty_merge_output_all_deleted(spark, warehouse):
+    """ADVICE r01: a batch that deletes every row in the touched buckets
+    (empty written plan) must not crash the Observation metrics path."""
+    lake, t = _mk(spark, warehouse, n_buckets=4)
+    t.merge_upsert(spark.createDataFrame([("a", "A", 1)], SCHEMA), 0)
+    batch = spark.createDataFrame(
+        [("a", None, None, True)],
+        T.StructType(SCHEMA.fields + [T.StructField("d", T.BooleanType())]),
+    )
+    m = t.merge_upsert(batch, 1, delete_col="d")
+    assert m["rows_deleted"] == 1 and m["rows_seen"] == 1
+    assert t.read().count() == 0
+    # replaying the next epoch over the emptied table still works
+    m2 = t.merge_upsert(spark.createDataFrame([("b", "B", 2)], SCHEMA), 2)
+    assert m2["rows_inserted"] == 1
+    assert rows(t) == {"b": ("B", 2)}
+
+
+def test_mor_delete_then_create_only_matches_cow(spark, warehouse):
+    """ADVICE r01: a create-only row written AFTER a delete must re-create the
+    key in mor mode exactly as in cow mode, before AND after compaction."""
+    lake = SnapshotLake(spark, warehouse)
+    got = {}
+    for mode in ("cow", "mor"):
+        t = lake.create_table(f"dc_{mode}", SCHEMA, ["key"], n_buckets=4, mode=mode)
+        t.merge_upsert(spark.createDataFrame([("a", "v1", 1)], SCHEMA), 0)
+        d = spark.createDataFrame(
+            [("a", None, None, True)],
+            T.StructType(SCHEMA.fields + [T.StructField("d", T.BooleanType())]),
+        )
+        t.merge_upsert(d, 1, delete_col="d")
+        co = spark.createDataFrame(
+            [("a", "v2", 2, True)],
+            T.StructType(SCHEMA.fields + [T.StructField("co", T.BooleanType())]),
+        )
+        t.merge_upsert(co, 2, create_only_col="co")
+        got[mode] = rows(t)
+        t.compact()
+        assert rows(t) == got[mode], f"{mode}: compaction changed state"
+    assert got["cow"] == got["mor"] == {"a": ("v2", 2)}
+
+
+def test_delete_wins_over_create_only_both_strategies(spark, warehouse):
+    """ADVICE r01: a source row with both __del and __co set deletes the
+    target row under every physical strategy."""
+    lake = SnapshotLake(spark, warehouse)
+    both = T.StructType(
+        SCHEMA.fields
+        + [T.StructField("d", T.BooleanType()), T.StructField("co", T.BooleanType())]
+    )
+    for strat in ("join", "bucketed"):
+        t = lake.create_table(f"dco_{strat}", SCHEMA, ["key"], n_buckets=4)
+        t.merge_upsert(spark.createDataFrame([("a", "v1", 1)], SCHEMA), 0, strategy=strat)
+        b = spark.createDataFrame([("a", "v2", 2, True, True)], both)
+        m = t.merge_upsert(b, 1, delete_col="d", create_only_col="co", strategy=strat)
+        assert m["rows_deleted"] == 1, strat
+        assert t.read().count() == 0, strat
+    # and in mor mode
+    t = lake.create_table("dco_mor", SCHEMA, ["key"], n_buckets=4, mode="mor")
+    t.merge_upsert(spark.createDataFrame([("a", "v1", 1)], SCHEMA), 0)
+    t.merge_upsert(
+        spark.createDataFrame([("a", "v2", 2, True, True)], both),
+        1, delete_col="d", create_only_col="co",
+    )
+    assert t.read().count() == 0
+
+
+def test_duplicate_key_batch_fails_loudly(spark, warehouse):
+    """ADVICE r01: MERGE multi-match is an error, not silent corruption."""
+    lake, t = _mk(spark, warehouse, n_buckets=4)
+    dup = spark.createDataFrame([("a", "v1", 1), ("a", "v2", 2)], SCHEMA)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge_upsert(dup, 0, check_unique=True)
