@@ -387,6 +387,113 @@ def q_base64_decode(spark, sf_dir):
     )
 
 
+def q_dashboard_search_docs(spark, sf_dir):
+    """Dashboard model family end-to-end: deterministic dashboard/query/
+    chart/execution/usage fixture rows → the 8 expansions → graph frames →
+    DashboardESDocument build (dashboard Cypher re-expression,
+    neo4j_search_data_extractor.py:85-115). Oracle recomputes the documents
+    directly from the same arithmetic."""
+    from amundsendatabuilder_spark.operators import dashboard_models as dm
+
+    dids = (
+        _t(spark, sf_dir, "part")
+        .select((F.col("p_partkey") % 40).alias("did"))
+        .distinct()
+    )
+    g = F.col("did") % 8
+    base = dids.select(
+        "did",
+        F.lit("mode").alias("product"),
+        F.lit("gold").alias("cluster"),
+        F.concat(F.lit("grp_"), g).alias("group_id"),
+        F.concat(F.lit("Group "), g).alias("group_name"),
+        F.concat(F.lit("https://g/"), g).alias("group_url"),
+        F.when(g % 3 == 0, F.concat(F.lit("gdesc "), g)).alias("group_description"),
+        F.concat(F.lit("dash_"), F.col("did")).alias("dashboard_id"),
+        F.concat(F.lit("Dashboard "), F.col("did")).alias("dashboard_name"),
+        F.when(F.col("did") % 5 != 0, F.concat(F.lit("desc "), F.col("did"))).alias("description"),
+        (F.lit(1600000000) + F.col("did")).alias("created_timestamp"),
+        F.concat(F.lit("https://d/"), F.col("did")).alias("dashboard_url"),
+        F.array(F.lit("viz"), F.concat(F.lit("team_"), F.col("did") % 4)).alias("tags"),
+    )
+    qs = base.select(
+        "product", "cluster", "group_id", "dashboard_id", "did",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("qi"),
+    ).select(
+        "product", "cluster", "group_id", "dashboard_id", "did",
+        F.concat(F.lit("q"), F.col("qi")).alias("query_id"),
+        F.concat(F.lit("Query "), (F.col("did") + F.col("qi")) % 6).alias("query_name"),
+        F.concat(F.lit("https://q/"), F.col("did"), F.lit("/"), F.col("qi")).alias("url"),
+        F.lit("SELECT 1").alias("query_text"),
+        F.col("qi"),
+    )
+    charts = qs.select(
+        "product", "cluster", "group_id", "dashboard_id", "query_id",
+        F.lit("c1").alias("chart_id"),
+        F.concat(F.lit("Chart "), (F.col("did") + F.col("qi")) % 4).alias("chart_name"),
+        F.lit("bar").alias("chart_type"),
+        F.lit(None).cast("string").alias("chart_url"),
+    )
+    execs = base.select(
+        "product", "cluster", "group_id", "dashboard_id",
+        F.lit("_last_successful_execution").alias("execution_id"),
+        (F.lit(1700000000) + F.col("did")).alias("timestamp"),
+        F.lit("succeeded").alias("state"),
+    )
+    usage = base.select(
+        "product", "cluster", "group_id", "dashboard_id", "did",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(F.lit("du"), F.col("did") % 3, F.lit("@x.com")).alias("email"),
+                    (F.col("did") % 9 + 1).alias("view_count"),
+                ),
+                F.struct(
+                    F.concat(F.lit("du"), (F.col("did") + 1) % 3, F.lit("@x.com")).alias("email"),
+                    (F.col("did") % 4 + 2).alias("view_count"),
+                ),
+            )
+        ).alias("u"),
+    ).select("product", "cluster", "group_id", "dashboard_id",
+             F.col("u.email").alias("email"), F.col("u.view_count").alias("view_count"))
+
+    nodes = (
+        dm.dashboard_metadata_nodes(base)
+        .unionByName(dm.dashboard_query_nodes(qs))
+        .unionByName(dm.dashboard_chart_nodes(charts))
+        .unionByName(dm.dashboard_execution_nodes(execs))
+        .unionByName(dm.dashboard_usage_user_nodes(usage))
+    )
+    rels = (
+        dm.dashboard_metadata_relations(base)
+        .unionByName(dm.dashboard_query_relations(qs.drop("did", "qi")))
+        .unionByName(dm.dashboard_chart_relations(charts))
+        .unionByName(dm.dashboard_execution_relations(execs))
+        .unionByName(dm.dashboard_usage_relations(usage))
+    )
+    docs = dm.dashboard_docs_from_graph(nodes, rels)
+    return docs.select(
+        "uri", "name", "group_name", "product", "cluster",
+        "description", "group_description", "group_url", "url",
+        "last_successful_run_timestamp", "total_usage",
+        F.concat_ws("|", "query_names").alias("query_names"),
+        F.concat_ws("|", "chart_names").alias("chart_names"),
+        F.concat_ws("|", "tags").alias("tags"),
+    )
+
+
+def q_user_search_docs(spark, sf_dir):
+    """UserESDocument build over the CDC graph (user search Cypher,
+    neo4j_search_data_extractor.py:64-83): owners + readers with
+    total_read / total_own aggregates."""
+    from amundsendatabuilder_spark.operators.search_docs import user_docs_from_graph
+
+    pipe = _run_cdc(spark, sf_dir)
+    docs = user_docs_from_graph(pipe.graph_nodes.read(), pipe.graph_relations.read())
+    return docs.select("email", "full_name", "is_active",
+                       "total_read", "total_own", "total_follow")
+
+
 # ---------------------------------------------------------------------------
 # the CDC engine end-to-end (flagship)
 # ---------------------------------------------------------------------------
@@ -500,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "metastore_regroup": q_metastore_regroup,
+        "dashboard_search_docs": q_dashboard_search_docs,
+        "user_search_docs": q_user_search_docs,
         "cdc_replay_tables": q_cdc_replay_tables,
         "cdc_search_docs": q_cdc_search_docs,
         "cdc_usage_rels": q_cdc_usage_rels,
@@ -790,6 +899,65 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(col_name, ',' ORDER BY so) AS col_names,
                    string_agg(col_type, ',' ORDER BY so) AS col_types
             FROM cols GROUP BY schema, name
+        """,
+        "dashboard_search_docs": """
+            WITH dash AS (SELECT DISTINCT p_partkey % 40 AS did FROM part),
+            docs AS (
+              SELECT 'mode_dashboard://gold.grp_' || (did % 8) || '/dash_' || did AS uri,
+                     'Dashboard ' || did AS name,
+                     'Group ' || (did % 8) AS group_name,
+                     'mode' AS product, 'gold' AS cluster,
+                     CASE WHEN did % 5 != 0 THEN 'desc ' || did ELSE '' END AS description,
+                     CASE WHEN (did % 8) % 3 = 0 THEN 'gdesc ' || (did % 8) ELSE '' END AS group_description,
+                     'https://g/' || (did % 8) AS group_url,
+                     'https://d/' || did AS url,
+                     CAST(1700000000 + did AS BIGINT) AS last_successful_run_timestamp,
+                     CAST((did % 9 + 1) + (did % 4 + 2) AS BIGINT) AS total_usage,
+                     did
+              FROM dash),
+            qn AS (
+              SELECT did, string_agg(DISTINCT qname, '|' ORDER BY qname) AS query_names
+              FROM (SELECT did, 'Query ' || ((did + qi) % 6) AS qname
+                    FROM dash, (SELECT unnest([1, 2]) AS qi)) t
+              GROUP BY did),
+            cn AS (
+              SELECT did, string_agg(DISTINCT cname, '|' ORDER BY cname) AS chart_names
+              FROM (SELECT did, 'Chart ' || ((did + qi) % 4) AS cname
+                    FROM dash, (SELECT unnest([1, 2]) AS qi)) t
+              GROUP BY did),
+            tg AS (
+              SELECT did, string_agg(DISTINCT tag, '|' ORDER BY tag) AS tags
+              FROM (SELECT did, unnest(['viz', 'team_' || (did % 4)]) AS tag FROM dash) t
+              GROUP BY did)
+            SELECT uri, name, group_name, product, cluster, description,
+                   group_description, group_url, url,
+                   last_successful_run_timestamp, total_usage,
+                   qn.query_names, cn.chart_names, tg.tags
+            FROM docs JOIN qn USING (did) JOIN cn USING (did) JOIN tg USING (did)
+        """,
+        "user_search_docs": """
+            WITH live AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 7 != 0),
+            owners AS (
+              SELECT 'user_' || (CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 50)
+                       || '@example.com' AS email,
+                     'repofs://gold.' || source || '/doc_' || doc_id AS tkey
+              FROM live),
+            own_agg AS (SELECT email, count(DISTINCT tkey) AS total_own FROM owners GROUP BY email),
+            readers AS (
+              SELECT 'reader_' || (doc_id % 11) || '@example.com' AS email,
+                     doc_id % 13 + 1 AS c FROM live
+              UNION ALL
+              SELECT 'reader_' || ((doc_id * 3 + 1) % 11) || '@example.com',
+                     doc_id % 5 + 1 FROM live),
+            read_agg AS (SELECT email, sum(c) AS total_read FROM readers GROUP BY email),
+            allu AS (SELECT email FROM own_agg UNION SELECT email FROM read_agg)
+            SELECT a.email, a.email AS full_name, true AS is_active,
+                   CAST(coalesce(r.total_read, 0) AS BIGINT) AS total_read,
+                   CAST(coalesce(o.total_own, 0) AS BIGINT) AS total_own,
+                   CAST(0 AS BIGINT) AS total_follow
+            FROM allu a
+            LEFT JOIN own_agg o USING (email)
+            LEFT JOIN read_agg r USING (email)
         """,
         "cdc_usage_rels": """
             WITH live AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 != 0),

@@ -164,10 +164,18 @@ def table_owner_relations(owners: DataFrame) -> DataFrame:
 
 # ---- Watermark (watermark.py:13-108) ----------------------------------------
 
+def _valid_watermarks(wm: DataFrame) -> DataFrame:
+    """Reference raises unless '=' is in part_name ('only partition table has
+    high watermark', watermark.py:38-45) — the set-based form drops the
+    invalid rows instead of silently emitting a garbage partition_value."""
+    return wm.where(F.col("part_name").contains("="))
+
+
 def watermark_nodes(wm: DataFrame) -> DataFrame:
     """wm: create_time,database,schema,table_name,part_name(key=value[/...]),
     part_type,cluster. partition_key = first part's key; partition_value =
     remainder after the first '='."""
+    wm = _valid_watermarks(wm)
     w = wm.withColumn(
         "__tk", _tbl_key("database", "cluster", "schema", "table_name")
     ).withColumn("__wk", F.concat(F.col("__tk"), F.lit("/"), F.col("part_type"), F.lit("/")))
@@ -182,6 +190,7 @@ def watermark_nodes(wm: DataFrame) -> DataFrame:
 
 
 def watermark_relations(wm: DataFrame) -> DataFrame:
+    wm = _valid_watermarks(wm)
     w = wm.withColumn(
         "__tk", _tbl_key("database", "cluster", "schema", "table_name")
     ).withColumn("__wk", F.concat(F.col("__tk"), F.lit("/"), F.col("part_type"), F.lit("/")))
@@ -197,10 +206,116 @@ def badge_nodes(badges: DataFrame) -> DataFrame:
     return _node(b, F.col("badge"), "Badge", _smap(category=F.col("category"))).dropDuplicates(["key"])
 
 
-def badge_relations(badges: DataFrame, start_label: str = "Column") -> DataFrame:
-    b = badges.withColumn("__tk", _tbl_key("database", "cluster", "schema", "table_name"))
+# per-label start-key patterns (badge.py:45-52); reference .match = anchored
+# prefix match, reproduced with a ^-anchored rlike
+BADGE_KEY_PATTERNS = {
+    "Table": r"^[a-z]+://[a-zA-Z0-9_.-]+.[a-zA-Z0-9_.-]+/[a-zA-Z0-9_.-]+",
+    "Dashboard": r"^[a-z]+_dashboard://[a-zA-Z0-9_.-]+.[a-zA-Z0-9_.-]+/[a-zA-Z0-9_.-]+",
+    "Column": r"^[a-z]+://[a-zA-Z0-9_.-]+.[a-zA-Z0-9_.-]+/[a-zA-Z0-9_.-]+/[a-zA-Z0-9_.-]+",
+}
+
+
+def badge_relations(badges: DataFrame, start_label: str = "Column",
+                    start_key_col: str | None = None) -> DataFrame:
+    """Start-label must be one of Table/Dashboard/Column and start keys must
+    match the label's key pattern (reference raises per record,
+    badge.py:45-61; here the unsupported label raises and non-matching rows
+    are filtered — the set-based form of the same data-quality gate)."""
+    if start_label not in BADGE_KEY_PATTERNS:
+        raise ValueError(
+            f"{start_label} is not a valid start_label for a Badge relation"
+        )
+    if start_key_col is not None:
+        b = badges.withColumn("__tk", F.col(start_key_col))
+    else:
+        b = badges.withColumn("__tk", _tbl_key("database", "cluster", "schema", "table_name"))
+        if start_label == "Column" and "column_name" in badges.columns:
+            b = b.withColumn("__tk", F.concat(F.col("__tk"), F.lit("/"), F.col("column_name")))
+    b = b.where(F.col("__tk").rlike(BADGE_KEY_PATTERNS[start_label]))
     return _rel(b, F.col("__tk"), start_label, F.lower(F.trim(F.col("name"))), "Badge",
                 "HAS_BADGE", "BADGE_FOR")
+
+
+# ---- TableColumnStats (table_stats.py:11-106) ---------------------------------
+
+def table_column_stats_nodes(stats: DataFrame) -> DataFrame:
+    """stats: db,cluster,schema,table_name,col_name,stat_name,stat_val,
+    start_epoch,end_epoch. Stat node key = {tbl_key}/{col}/{stat_name}/."""
+    s = stats.withColumn("__tk", _tbl_key("db", "cluster", "schema", "table_name"))
+    sk = F.concat(F.col("__tk"), F.lit("/"), F.col("col_name"), F.lit("/"),
+                  F.col("stat_name"), F.lit("/"))
+    return _node(
+        s, sk, "Stat",
+        _smap(stat_val=F.col("stat_val"), stat_name=F.col("stat_name"),
+              start_epoch=F.col("start_epoch"), end_epoch=F.col("end_epoch")),
+    )
+
+
+def table_column_stats_relations(stats: DataFrame) -> DataFrame:
+    """Stat-[STAT_OF]->Column (reverse STAT), table_stats.py:91-106."""
+    s = stats.withColumn("__tk", _tbl_key("db", "cluster", "schema", "table_name"))
+    sk = F.concat(F.col("__tk"), F.lit("/"), F.col("col_name"), F.lit("/"),
+                  F.col("stat_name"), F.lit("/"))
+    ck = F.concat(F.col("__tk"), F.lit("/"), F.col("col_name"))
+    return _rel(s, sk, "Stat", ck, "Column", "STAT_OF", "STAT")
+
+
+# ---- SchemaModel standalone (schema/schema.py:15-80) ---------------------------
+
+def schema_nodes(schemas: DataFrame) -> DataFrame:
+    """schemas: schema_key,schema[,description,description_source]."""
+    has_desc = "description" in schemas.columns
+    parts = [
+        _node(schemas, F.col("schema_key"), "Schema",
+              _smap(name=F.col("schema"))),
+    ]
+    if has_desc:
+        src = (F.col("description_source") if "description_source" in schemas.columns
+               else F.lit(None).cast("string"))
+        d = schemas.withColumn("__src", src).where(F.col("description").isNotNull())
+        desc_id = F.when(
+            F.col("__src").isNotNull(),
+            F.concat(F.lit("_"), F.col("__src"), F.lit("_description")),
+        ).otherwise(F.lit("_description"))
+        parts.append(
+            _node(
+                d, F.concat(F.col("schema_key"), F.lit("/"), desc_id), "Description",
+                _smap(description=F.col("description"),
+                      description_source=F.coalesce(F.col("__src"), F.lit("description"))),
+            )
+        )
+    return _u(parts)
+
+
+def schema_relations(schemas: DataFrame) -> DataFrame:
+    if "description" not in schemas.columns:
+        return _rel(schemas.limit(0), F.col("schema_key"), "Schema",
+                    F.col("schema_key"), "Description",
+                    "DESCRIPTION", "DESCRIPTION_OF")
+    src = (F.col("description_source") if "description_source" in schemas.columns
+           else F.lit(None).cast("string"))
+    d = schemas.withColumn("__src", src).where(F.col("description").isNotNull())
+    desc_id = F.when(
+        F.col("__src").isNotNull(),
+        F.concat(F.lit("_"), F.col("__src"), F.lit("_description")),
+    ).otherwise(F.lit("_description"))
+    return _rel(d, F.col("schema_key"), "Schema",
+                F.concat(F.col("schema_key"), F.lit("/"), desc_id), "Description",
+                "DESCRIPTION", "DESCRIPTION_OF")
+
+
+# ---- Neo4jESLastUpdated (neo4j_es_last_updated.py:11-60) ------------------------
+
+def neo4j_es_last_updated_nodes(spark, timestamp: int) -> DataFrame:
+    """The singleton watermark node the reference publishes after every run:
+    key 'amundsen_updated_timestamp', attr 'latest_timestmap' (typo preserved
+    — it is the reference's wire format)."""
+    row = spark.range(1).select(F.lit(int(timestamp)).alias("ts"))
+    return _node(
+        row, F.lit("amundsen_updated_timestamp"), "Updatedtimestamp",
+        _smap(latest_timestmap=F.col("ts")),
+        _tmap(latest_timestmap="int"),
+    )
 
 
 # ---- ColumnUsage (column_usage_model.py:18-99) -------------------------------

@@ -136,8 +136,13 @@ def nodes_from_entities(e: DataFrame) -> DataFrame:
             _node(e, F.col("database_key"), "Database", _smap(name=F.col("database"))),
             _node(e, F.col("cluster_key"), "Cluster", _smap(name=F.col("cluster"))),
             _node(e, F.col("schema_key"), "Schema", _smap(name=F.col("repo"))),
+            # full_name = email: the changelog has no profile names; non-null
+            # full_name keeps these users visible to the user search query
+            # (reference filters `WHERE user.full_name IS NOT NULL`,
+            # neo4j_search_data_extractor.py:72)
             _node(e, F.col("owner_email"), "User",
-                  _smap(email=F.col("owner_email"), is_active=F.lit(True)),
+                  _smap(email=F.col("owner_email"),
+                        full_name=F.col("owner_email"), is_active=F.lit(True)),
                   _tmap(is_active="bool")),
         ]
     ).dropDuplicates(["key", "label"])
@@ -257,7 +262,8 @@ def usage_user_nodes(usage: DataFrame) -> DataFrame:
     u = usage.select("user_email").dropDuplicates(["user_email"])
     return _node(
         u, F.col("user_email"), "User",
-        _smap(email=F.col("user_email"), is_active=F.lit(True)),
+        _smap(email=F.col("user_email"), full_name=F.col("user_email"),
+              is_active=F.lit(True)),
         _tmap(is_active="bool"),
     )
 

@@ -91,6 +91,89 @@ def docs_from_entities(e: DataFrame, usage: DataFrame | None = None) -> DataFram
     )
 
 
+USER_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("email", T.StringType()),
+        T.StructField("first_name", T.StringType()),
+        T.StructField("last_name", T.StringType()),
+        T.StructField("full_name", T.StringType()),
+        T.StructField("github_username", T.StringType()),
+        T.StructField("team_name", T.StringType()),
+        T.StructField("employee_type", T.StringType()),
+        T.StructField("manager_email", T.StringType()),
+        T.StructField("slack_id", T.StringType()),
+        T.StructField("role_name", T.StringType()),
+        T.StructField("is_active", T.BooleanType()),
+        T.StructField("total_read", T.LongType()),
+        T.StructField("total_own", T.LongType()),
+        T.StructField("total_follow", T.LongType()),
+    ]
+)
+
+
+def user_docs_from_graph(nodes: DataFrame, relations: DataFrame) -> DataFrame:
+    """UserESDocument rows (``user_elasticsearch_document.py:7``) via the user
+    search Cypher (``neo4j_search_data_extractor.py:64-83``): per user —
+    profile attributes, manager email (MANAGE_BY), ``total_read`` =
+    REDUCE(sum read.read_count) over READ relations (stored once as READ_BY
+    rows ending at the user), ``total_own`` = COUNT(DISTINCT owned objects),
+    ``total_follow`` = COUNT(DISTINCT FOLLOWED_BY). Rows with null
+    ``full_name`` are dropped, matching the Cypher WHERE (:72)."""
+    att = lambda c: F.col("attributes")[c]  # noqa: E731
+    users = nodes.where(F.col("label") == "User").select(
+        F.col("key").alias("email"),
+        att("first_name").alias("first_name"),
+        att("last_name").alias("last_name"),
+        att("full_name").alias("full_name"),
+        att("github_username").alias("github_username"),
+        att("team_name").alias("team_name"),
+        att("employee_type").alias("employee_type"),
+        att("slack_id").alias("slack_id"),
+        att("role_name").alias("role_name"),
+        F.coalesce(att("is_active").cast("boolean"), F.lit(True)).alias("is_active"),
+    )
+    mgr = relations.where(F.col("type") == "MANAGE_BY").select(
+        F.col("start_key").alias("email"), F.col("end_key").alias("manager_email")
+    )
+    reads = (
+        relations.where(F.col("type") == "READ_BY")
+        .groupBy(F.col("end_key").alias("email"))
+        .agg(F.sum(F.col("attributes")["read_count"].cast("long")).alias("total_read"))
+    )
+    # owned objects stored either direction: User-[OWNER_OF]->x or x-[OWNER]->User
+    own = (
+        relations.where(F.col("type") == "OWNER_OF")
+        .select(F.col("start_key").alias("email"), F.col("end_key").alias("obj"))
+        .unionByName(
+            relations.where(F.col("type") == "OWNER").select(
+                F.col("end_key").alias("email"), F.col("start_key").alias("obj")
+            )
+        )
+        .groupBy("email")
+        .agg(F.countDistinct("obj").alias("total_own"))
+    )
+    follow = (
+        relations.where(F.col("type") == "FOLLOWED_BY")
+        .groupBy(F.col("start_key").alias("email"))
+        .agg(F.countDistinct("end_key").alias("total_follow"))
+    )
+    return (
+        users.where(F.col("full_name").isNotNull())
+        .join(mgr, "email", "left")
+        .join(reads, "email", "left")
+        .join(own, "email", "left")
+        .join(follow, "email", "left")
+        .select(
+            "email", "first_name", "last_name", "full_name", "github_username",
+            "team_name", "employee_type", "manager_email", "slack_id", "role_name",
+            "is_active",
+            F.coalesce(F.col("total_read"), F.lit(0)).cast("long").alias("total_read"),
+            F.coalesce(F.col("total_own"), F.lit(0)).cast("long").alias("total_own"),
+            F.coalesce(F.col("total_follow"), F.lit(0)).cast("long").alias("total_follow"),
+        )
+    )
+
+
 def docs_from_graph(nodes: DataFrame, relations: DataFrame) -> DataFrame:
     """Batch path: rebuild all docs from the graph tables — the literal Spark
     translation of the reference Cypher (spine joins + left joins + aggs).

@@ -86,34 +86,50 @@ class Snapshot:
         return Snapshot(**json.loads(s))
 
 
+class ManifestIO:
+    """Pluggable manifest storage. The default is POSIX local fs where the
+    CURRENT pointer swap is ``os.replace`` (atomic). On an object store this
+    class is the ONE thing to reimplement: write manifests as immutable
+    objects and swap CURRENT with a conditional put (S3 If-None-Match /
+    GCS generation-match) or a catalog/DynamoDB compare-and-set — the same
+    contract Iceberg delegates to its catalog. Data files never need this:
+    they are immutable and referenced only by committed manifests."""
+
+    def read(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write(self, path: str, content: str) -> None:
+        with open(path, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+
+    def swap_pointer(self, pointer_path: str, content: str) -> None:
+        tmp = f"{pointer_path}.{uuid.uuid4().hex}.tmp"
+        self.write(tmp, content)
+        os.replace(tmp, pointer_path)  # atomic on POSIX
+
+
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 manifest_io: ManifestIO | None = None):
         self.spark = spark
         self.root = root
         self.meta_dir = os.path.join(root, "meta")
         self.data_dir = os.path.join(root, "data")
+        self.io = manifest_io or ManifestIO()
 
     # ---- manifest I/O -------------------------------------------------
 
     def current(self) -> Snapshot:
-        with open(os.path.join(self.meta_dir, "CURRENT")) as f:
-            v = f.read().strip()
-        with open(os.path.join(self.meta_dir, f"{v}.json")) as f:
-            return Snapshot.from_json(f.read())
+        v = self.io.read(os.path.join(self.meta_dir, "CURRENT")).strip()
+        return Snapshot.from_json(self.io.read(os.path.join(self.meta_dir, f"{v}.json")))
 
     def _commit(self, snap: Snapshot) -> None:
         snap.committed_at_ms = int(time.time() * 1000)
-        path = os.path.join(self.meta_dir, f"v{snap.version}.json")
-        with open(path, "w") as f:
-            f.write(snap.to_json())
-            f.flush()
-            os.fsync(f.fileno())
-        tmp = os.path.join(self.meta_dir, f".CURRENT.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(f"v{snap.version}")
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.meta_dir, "CURRENT"))  # atomic swap
+        self.io.write(os.path.join(self.meta_dir, f"v{snap.version}.json"), snap.to_json())
+        self.io.swap_pointer(os.path.join(self.meta_dir, "CURRENT"), f"v{snap.version}")
 
     # ---- read ----------------------------------------------------------
 
@@ -872,9 +888,11 @@ class SnapshotTable:
 class SnapshotLake:
     """A warehouse of :class:`SnapshotTable` (directory per table)."""
 
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 manifest_io: ManifestIO | None = None):
         self.spark = spark
         self.warehouse = warehouse
+        self.manifest_io = manifest_io
         os.makedirs(warehouse, exist_ok=True)
 
     def _root(self, name: str) -> str:
@@ -893,7 +911,7 @@ class SnapshotLake:
         if_not_exists: bool = True,
         mode: str = "cow",
     ) -> SnapshotTable:
-        t = SnapshotTable(self.spark, self._root(name))
+        t = SnapshotTable(self.spark, self._root(name), self.manifest_io)
         if self.exists(name):
             if if_not_exists:
                 return t
@@ -928,4 +946,4 @@ class SnapshotLake:
     def table(self, name: str) -> SnapshotTable:
         if not self.exists(name):
             raise ValueError(f"no such table: {name}")
-        return SnapshotTable(self.spark, self._root(name))
+        return SnapshotTable(self.spark, self._root(name), self.manifest_io)

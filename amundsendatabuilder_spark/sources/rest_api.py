@@ -1,0 +1,155 @@
+"""REST API correlated 1:1 / 1:N join — the decorator-pattern nested-loop
+fetch powering the Mode/Redash/Tableau dashboard extractors.
+
+Re-expresses ``databuilder/rest_api/rest_api_query.py:19`` (execute
+:134-185, URL substitution :187-193, sub-record zip :208-249) Spark-first:
+the driver-side generator chain becomes ``mapInPandas`` over the previous
+query's DataFrame — each partition performs its own batched fetches (the
+scale replacement for the reference's single-threaded ``requests.get`` loop;
+the reference's 5-try exponential retry collapses into Spark task retries +
+idempotent GETs), and the 1:N "sub-record" expansion is a per-row zip of the
+JSON-path matches, yielded as extra output rows exactly like the reference.
+
+The fetcher is injected (``fetch: url -> parsed JSON``): in production an
+HTTP client; in this sandbox (no network) a deterministic local function —
+the join/zip semantics are what this module owns and tests.
+
+JSON-path support is the dotted/bracket subset the reference extractors use:
+``a.b[*].c`` navigates dicts and fans out over lists; comma-separated paths
+(``x,y`` — the reference's AND) select multiple fields per match, and
+``json_path_contains_or`` flips to the OR layout (field-major) per
+``rest_api_query.py:208-249``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def _find(obj: Any, path: list[str]) -> list[Any]:
+    """Minimal JSONPath: dotted keys; '[*]' or bare list fan-out."""
+    if not path:
+        return [obj]
+    head, rest = path[0], path[1:]
+    out: list[Any] = []
+    if head == "[*]":
+        if isinstance(obj, list):
+            for item in obj:
+                out.extend(_find(item, rest))
+        return out
+    if isinstance(obj, list):
+        for item in obj:
+            out.extend(_find(item, path))
+        return out
+    if isinstance(obj, dict) and head in obj:
+        out.extend(_find(obj[head], rest))
+    return out
+
+
+def _tokenize(p: str) -> list[str]:
+    toks: list[str] = []
+    for part in p.strip().split("."):
+        if part.endswith("[*]"):
+            if part[:-3]:
+                toks.append(part[:-3])
+            toks.append("[*]")
+        elif part:
+            toks.append(part)
+    return toks
+
+
+def json_path_values(payload: Any, json_path: str) -> list[Any]:
+    """All matches, AND-style: comma-joined paths interleave per match group
+    (reference: 'first n records will be first record')."""
+    paths = [p for p in json_path.split(",") if p.strip()]
+    if len(paths) == 1:
+        return _find(payload, _tokenize(paths[0]))
+    columns = [_find(payload, _tokenize(p)) for p in paths]
+    n = min(len(c) for c in columns) if columns else 0
+    out: list[Any] = []
+    for i in range(n):
+        for c in columns:
+            out.append(c[i])
+    return out
+
+
+def compute_sub_records(result_list: list, field_names: list[str],
+                        json_path_contains_or: bool = False) -> list[list]:
+    """Exact reference zip (``rest_api_query.py:208-249``): AND → row-major
+    chunks of len(field_names); OR → field-major transpose."""
+    if not field_names:
+        raise ValueError("Field names should not be empty")
+    k = len(field_names)
+    if not json_path_contains_or:
+        return [result_list[i:i + k] for i in range(0, len(result_list), k)]
+    n = int(len(result_list) / k)
+    return [[result_list[j] for j in range(i, len(result_list), n)] for i in range(n)]
+
+
+def rest_api_join(
+    prev: DataFrame,
+    url: str,
+    json_path: str,
+    field_names: list[str],
+    fetch: Callable[[str], Any],
+    json_path_contains_or: bool = False,
+    fail_no_result: bool = False,
+    skip_no_result: bool = False,
+    can_skip_failure: Callable[[Exception], bool] | None = None,
+    field_types: dict[str, str] | None = None,
+) -> DataFrame:
+    """One hop of the correlated join: for every row of ``prev``, build the
+    URL from the row (``url.format(**record)``), fetch, JSON-path extract,
+    zip into sub-records, and emit one output row per sub-record (1:N) with
+    the new fields appended — the reference's execute() loop, distributed."""
+    out_schema = T.StructType(
+        list(prev.schema.fields)
+        + [
+            T.StructField(f, getattr(T, field_types[f])() if field_types and f in field_types
+                          else T.StringType())
+            for f in field_names
+        ]
+    )
+    prev_cols = prev.columns
+    new_types = {
+        f.name: f.dataType for f in out_schema.fields if f.name in field_names
+    }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows_out: list[dict] = []
+            for rec in pdf.to_dict(orient="records"):
+                u = url.format(**rec)
+                try:
+                    payload = fetch(u)
+                except Exception as e:  # noqa: BLE001 — policy hook decides
+                    if can_skip_failure and can_skip_failure(e):
+                        continue
+                    raise
+                matches = json_path_values(payload, json_path)
+                if not matches:
+                    if fail_no_result:
+                        raise RuntimeError(
+                            f"No result from URL: {u}, JSONPATH: {json_path}"
+                        )
+                    if skip_no_result:
+                        continue
+                    rows_out.append({**rec, **{f: None for f in field_names}})
+                    continue
+                for sub in compute_sub_records(matches, field_names,
+                                               json_path_contains_or):
+                    if not sub or len(sub) != len(field_names):
+                        continue  # reference skips ragged sub-records
+                    rows_out.append({**rec, **dict(zip(field_names, sub))})
+            out = pd.DataFrame(rows_out, columns=prev_cols + field_names)
+            for f, dt in new_types.items():
+                if isinstance(dt, T.LongType) and f in out.columns:
+                    out[f] = out[f].astype("Int64")
+            yield out
+
+    return prev.mapInPandas(run, schema=out_schema)

@@ -61,6 +61,43 @@ REL_KEYS = ["start_key", "end_key", "type"]
 DOC_KEYS = ["key"]
 
 
+def parse_kafka_records(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Kafka wire rows (key/value binary, topic, partition, offset) → typed
+    changelog rows: ``(good, bad)``. A parse failure leaves every struct
+    field null; ``event_id`` is the required discriminator. Pure transform —
+    the caller decides the bad-record policy (batch side, where actions may
+    run)."""
+    has_meta = [c for c in ("topic", "partition", "offset") if c in raw.columns]
+    parsed = raw.select(
+        F.col("value").cast("string").alias("__raw"),
+        *has_meta,
+        F.from_json(F.col("value").cast("string"), CHANGELOG_SCHEMA).alias("r"),
+    )
+    good = parsed.where(F.col("r.event_id").isNotNull()).select("r.*")
+    bad = parsed.where(F.col("r.event_id").isNull()).select("__raw", *has_meta)
+    return good, bad
+
+
+def apply_bad_record_policy(bad: DataFrame, on_bad_record: str = "drop",
+                            dead_letter_dir: str | None = None) -> int:
+    """The reference's ``transformer_thrown_exception`` policy
+    (``kafka_source_extractor.py:107-114``): ``drop`` (reference default —
+    logs and drops), ``fail`` (poisoned batch aborts loudly), or — strictly
+    stronger than the reference — append the raw records to a parquet
+    dead-letter sink so nothing is lost. Returns the bad-record count."""
+    if on_bad_record == "drop" and dead_letter_dir is None:
+        return 0  # not even counted — zero extra jobs on the clean path
+    if dead_letter_dir is not None:
+        bad.write.mode("append").parquet(dead_letter_dir)
+    n = bad.count() if on_bad_record == "fail" else 0
+    if on_bad_record == "fail" and n:
+        sample = bad.select("__raw").first()
+        raise ValueError(
+            f"{n} malformed changelog record(s) in batch; first: {sample['__raw']!r}"
+        )
+    return n
+
+
 def _strip(schema, drop: set[str]):
     import pyspark.sql.types as T
 
@@ -79,6 +116,7 @@ class CDCPipeline:
         table_mode: str = "cow",
         compact_every: int = 8,
         compact_max_delta_files: int = 2,
+        materialize: str = "local_checkpoint",
     ):
         """``table_mode``: "cow" rewrites touched buckets per epoch (cheap
         reads); "mor" appends per epoch and resolves winners on read — the
@@ -101,6 +139,15 @@ class CDCPipeline:
             else:
                 parallel_prepare = spark.sparkContext.defaultParallelism >= 16
         self.parallel_prepare = parallel_prepare
+        # intermediate-frame materialization: "local_checkpoint" (default —
+        # fastest; lineage is CUT, so an executor loss on a real cluster
+        # fails the epoch and replay re-runs it, which exactly-once absorbs)
+        # vs "persist" (lineage kept: executor loss recomputes the lost
+        # partitions — the fault-tolerant choice for long epochs on
+        # preemptible nodes). Same results, different recovery cost.
+        if materialize not in ("local_checkpoint", "persist"):
+            raise ValueError(f"unknown materialize strategy {materialize!r}")
+        self.materialize = materialize
         self.lake = SnapshotLake(spark, warehouse)
         self.metrics_dir = os.path.join(warehouse, "_metrics")
         os.makedirs(self.metrics_dir, exist_ok=True)
@@ -152,6 +199,16 @@ class CDCPipeline:
             "table_usage", usage_schema, DOC_KEYS, n_buckets=n_buckets, mode=table_mode
         )
 
+
+    def _mat(self, df: DataFrame) -> DataFrame:
+        """Materialize a frame reused by several downstream jobs, per the
+        configured strategy (see ctor)."""
+        if self.materialize == "persist":
+            df = df.persist()
+            df.count()  # eager
+            return df
+        return df.localCheckpoint(eager=True)
+
     # -- the foreachBatch body -------------------------------------------
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> dict[str, Any]:
@@ -168,7 +225,7 @@ class CDCPipeline:
             return {"epoch": epoch_id, "skipped": True}
 
         winners = lww_dedup_agg(batch, ENTITY_KEYS, ["event_ts", "commit"])
-        winners = winners.localCheckpoint(eager=True)  # cut lineage; reused 4×
+        winners = self._mat(winners)  # reused 4×
         mark("dedup+ckpt")
 
         # current state for the touched keys — INCLUDING tombstones (a deleted
@@ -181,9 +238,11 @@ class CDCPipeline:
             f.name for f in self.repo_files.current().schema().fields
             if f.name not in ("content", "publish_tag", "updated_ms")
         ]
-        old_all = self.repo_files.read_for_keys(
-            winners.select(*ENTITY_KEYS), columns=feature_cols
-        ).localCheckpoint(eager=True)
+        old_all = self._mat(
+            self.repo_files.read_for_keys(
+                winners.select(*ENTITY_KEYS), columns=feature_cols
+            )
+        )
         mark("old_state+ckpt")
 
         # cross-batch LWW gate (north rule): a batch row takes effect ONLY if
@@ -214,10 +273,8 @@ class CDCPipeline:
 
         # each entity frame feeds 3 expansions (nodes/rels/docs) + diffs —
         # materialize once, expansions become cheap narrow projections
-        new_entities = (
-            extract_entities(upserts, self.cluster)
-            .drop("op", "shard", "event_id")
-            .localCheckpoint(eager=True)
+        new_entities = self._mat(
+            extract_entities(upserts, self.cluster).drop("op", "shard", "event_id")
         )
         mark("extract+ckpt")
         # diffs only for keys whose state ACTUALLY changes: restrict the old
@@ -386,8 +443,8 @@ class CDCPipeline:
         delta = (
             usage.groupBy(tkey.alias("table_key"), F.col("user_email"))
             .agg(F.sum(F.col("read_count").cast("long")).alias("read_count"))
-            .localCheckpoint(eager=True)
         )
+        delta = self._mat(delta)
         keys = delta.select(F.col("table_key").alias("key")).dropDuplicates(["key"])
 
         old = self.table_usage.read_for_keys(keys, columns=["readers"]).select(
@@ -399,8 +456,8 @@ class CDCPipeline:
             old.unionByName(delta)
             .groupBy("table_key", "user_email")
             .agg(F.sum("read_count").alias("read_count"))
-            .localCheckpoint(eager=True)
         )
+        combined_pairs = self._mat(combined_pairs)
         usage_rows = combined_pairs.groupBy(F.col("table_key").alias("key")).agg(
             F.sort_array(
                 F.collect_list(F.struct(F.col("user_email"), F.col("read_count")))
@@ -424,8 +481,8 @@ class CDCPipeline:
             .where(~F.col("is_deleted"))
             .drop("is_deleted")
             .withColumn("content", F.lit(None).cast("string"))
-            .localCheckpoint(eager=True)
         )
+        ents = self._mat(ents)
         existing_keys = ents.select(F.col("table_key"))
         node_batch = validate_nodes(usage_user_nodes(delta)).drop("scope_key")
         rel_batch = validate_relations(
@@ -483,6 +540,45 @@ class CDCPipeline:
             df = self.spark.read.schema(CHANGELOG_SCHEMA).parquet(p)
             out.append(self.apply_batch(df, start_epoch + i))
         return out
+
+    def run_stream_kafka(
+        self,
+        bootstrap_servers: str,
+        topics: str,
+        checkpoint_dir: str,
+        max_offsets_per_trigger: int | None = None,
+        on_bad_record: str = "drop",
+        dead_letter_dir: str | None = None,
+        available_now: bool = True,
+    ):
+        """Kafka CDC source (reference ``KafkaSourceExtractor``,
+        ``kafka_source_extractor.py:22``): ``readStream.format("kafka")`` +
+        the same foreachBatch body; checkpointed offsets replace the
+        commit-after-publish callback (:116-131) and ``maxOffsetsPerTrigger``
+        replaces the bounded poll (:136-171). Requires the
+        spark-sql-kafka connector jar on the classpath (absent in this
+        sandbox — the record-parse + dead-letter policy below is the tested
+        part; see :func:`parse_kafka_records`)."""
+        raw = (
+            self.spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topics)
+            .option("startingOffsets", "earliest")
+        )
+        if max_offsets_per_trigger:
+            raw = raw.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+
+        def _apply(df: DataFrame, eid: int):
+            good, bad = parse_kafka_records(df)
+            apply_bad_record_policy(bad, on_bad_record, dead_letter_dir)
+            return self.apply_batch(good, eid)
+
+        writer = (
+            raw.load().writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName("cdc_ingest_kafka")
+        )
+        return (writer.trigger(availableNow=True) if available_now else writer).start()
 
     def run_stream(
         self,

@@ -241,3 +241,171 @@ def test_lineage_regex_skips_invalid(spark):
     ends = {r["END_KEY"] for r in rels}
     assert ends == {"hive://gold.scm/tbl2", "hive://gold.scm/tbl3"}
     assert all(r["TYPE"] == "UPSTREAM" and r["REVERSE_TYPE"] == "DOWNSTREAM" for r in rels)
+
+
+# ---- dashboard family (databuilder/models/dashboard/*.py) -------------------
+
+def test_dashboard_family_golden(spark):
+    """Key grammar + node/relation shapes per the reference dashboard models
+    (dashboard_metadata.py:28-53, dashboard_query.py:21-25,
+    dashboard_chart.py:21-25, dashboard_execution.py:21-25,
+    dashboard_last_modified.py:23-24, dashboard_owner.py, dashboard_usage.py,
+    dashboard_table.py:26-27)."""
+    from amundsendatabuilder_spark.operators import dashboard_models as dm
+    import pyspark.sql.functions as F
+
+    base = spark.createDataFrame(
+        [("mode", "gold", "grp", "Data Group", "https://g", "gd",
+          "d1", "First Dash", "a dash", 1000, "https://d", ["Viz ", "core"])],
+        "product string, cluster string, group_id string, group_name string, "
+        "group_url string, group_description string, dashboard_id string, "
+        "dashboard_name string, description string, created_timestamp long, "
+        "dashboard_url string, tags array<string>",
+    )
+    nodes = {(r["key"], r["label"]): r["attributes"]
+             for r in dm.dashboard_metadata_nodes(base).collect()}
+    dkey = "mode_dashboard://gold.grp/d1"
+    assert ("mode_dashboard://gold", "Cluster") in nodes
+    assert nodes[("mode_dashboard://gold.grp", "Dashboardgroup")]["name"] == "Data Group"
+    assert nodes[(dkey, "Dashboard")]["name"] == "First Dash"
+    assert nodes[(dkey + "/_description", "Description")]["description"] == "a dash"
+    assert nodes[("mode_dashboard://gold.grp/_description", "Description")]["description"] == "gd"
+    assert ("viz", "Tag") in nodes and nodes[("viz", "Tag")]["tag_type"] == "dashboard"
+
+    rels = {(r["start_key"], r["end_key"], r["type"]): r
+            for r in dm.dashboard_metadata_relations(base).collect()}
+    assert ("mode_dashboard://gold", "mode_dashboard://gold.grp", "DASHBOARD_GROUP") in rels
+    assert (dkey, "mode_dashboard://gold.grp", "DASHBOARD_OF") in rels
+    assert (dkey, "viz", "TAG") in rels
+    assert rels[(dkey, "core", "TAG")]["reverse_type"] == "TAG_OF"
+
+    q = base.select("product", "cluster", "group_id", "dashboard_id",
+                    F.lit("q9").alias("query_id"), F.lit("Q").alias("query_name"),
+                    F.lit(None).cast("string").alias("url"),
+                    F.lit("SELECT 1").alias("query_text"))
+    qn = dm.dashboard_query_nodes(q).collect()[0]
+    assert qn["key"] == dkey + "/query/q9" and qn["label"] == "Query"
+    assert qn["attributes"]["query_text"] == "SELECT 1"
+    qr = dm.dashboard_query_relations(q).collect()[0]
+    assert (qr["type"], qr["reverse_type"]) == ("HAS_QUERY", "QUERY_OF")
+
+    c = q.select("product", "cluster", "group_id", "dashboard_id", "query_id",
+                 F.lit("c3").alias("chart_id"), F.lit("C").alias("chart_name"),
+                 F.lit("bar").alias("chart_type"),
+                 F.lit(None).cast("string").alias("chart_url"))
+    cn = dm.dashboard_chart_nodes(c).collect()[0]
+    assert cn["key"] == dkey + "/query/q9/chart/c3" and cn["label"] == "Chart"
+    cr = dm.dashboard_chart_relations(c).collect()[0]
+    assert cr["start_key"] == dkey + "/query/q9"
+    assert (cr["type"], cr["reverse_type"]) == ("HAS_CHART", "CHART_OF")
+
+    e = base.select("product", "cluster", "group_id", "dashboard_id",
+                    F.lit("_last_successful_execution").alias("execution_id"),
+                    F.lit(1700).alias("timestamp"), F.lit("succeeded").alias("state"))
+    en = dm.dashboard_execution_nodes(e).collect()[0]
+    assert en["key"] == dkey + "/execution/_last_successful_execution"
+    assert en["attributes"]["state"] == "succeeded"
+    assert en["attr_types"]["timestamp"] == "int"
+
+    m = base.select("product", "cluster", "group_id", "dashboard_id",
+                    F.lit(1710).alias("last_modified_timestamp"))
+    mn = dm.dashboard_last_modified_nodes(m).collect()[0]
+    assert mn["key"] == dkey + "/_last_modified_timestamp"
+    assert mn["label"] == "Timestamp"
+    mr = dm.dashboard_last_modified_relations(m).collect()[0]
+    assert (mr["type"], mr["reverse_type"]) == ("LAST_UPDATED_AT", "LAST_UPDATED_TIME_OF")
+
+    o = base.select("product", "cluster", "group_id", "dashboard_id",
+                    F.lit("o@x.com").alias("email"))
+    orr = dm.dashboard_owner_relations(o).collect()[0]
+    assert (orr["type"], orr["reverse_type"]) == ("OWNER", "OWNER_OF")
+    assert orr["end_key"] == "o@x.com"
+
+    u = o.withColumnRenamed("email", "email").withColumn("view_count", F.lit(7)) \
+         .withColumnRenamed("email", "email")
+    ur = dm.dashboard_usage_relations(u).collect()[0]
+    assert (ur["type"], ur["reverse_type"]) == ("READ_BY", "READ")
+    assert ur["attributes"]["read_count"] == "7"
+    assert ur["attr_types"]["read_count"] == "int"
+
+    t = base.select("product", "cluster", "group_id", "dashboard_id",
+                    F.explode(F.array(
+                        F.lit("hive://gold.core/orders"),
+                        F.lit("not-a-key"),
+                    )).alias("table_id"))
+    tr = dm.dashboard_table_relations(t).collect()
+    assert len(tr) == 1  # invalid table_id silently skipped (ref regex guard)
+    assert tr[0]["end_key"] == "hive://gold.core/orders"
+    assert (tr[0]["type"], tr[0]["reverse_type"]) == (
+        "DASHBOARD_WITH_TABLE", "TABLE_OF_DASHBOARD")
+
+
+def test_straggler_models_golden(spark):
+    """TableColumnStats (table_stats.py:11), SchemaModel (schema/schema.py:15),
+    Neo4jESLastUpdated (neo4j_es_last_updated.py:11), badge start-key
+    validation (badge.py:45-61), watermark '=' validation (watermark.py:38-45)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    stats = spark.createDataFrame(
+        [("hive", "gold", "scm", "tbl", "col1", "avg", "42.5", "100", "200")],
+        "db string, cluster string, schema string, table_name string, "
+        "col_name string, stat_name string, stat_val string, "
+        "start_epoch string, end_epoch string",
+    )
+    assert node_dicts(am.table_column_stats_nodes(stats)) == [{
+        "KEY": "hive://gold.scm/tbl/col1/avg/", "LABEL": "Stat",
+        "stat_val": "42.5", "stat_name": "avg",
+        "start_epoch": "100", "end_epoch": "200",
+    }]
+    assert rel_dicts(am.table_column_stats_relations(stats)) == [{
+        "START_KEY": "hive://gold.scm/tbl/col1/avg/", "START_LABEL": "Stat",
+        "END_KEY": "hive://gold.scm/tbl/col1", "END_LABEL": "Column",
+        "TYPE": "STAT_OF", "REVERSE_TYPE": "STAT",
+    }]
+
+    schemas = spark.createDataFrame(
+        [("hive://gold.scm", "scm", "the schema", None),
+         ("hive://gold.other", "other", "prog", "quality")],
+        "schema_key string, schema string, description string, description_source string",
+    )
+    n = {(r["key"], r["label"]): r["attributes"] for r in am.schema_nodes(schemas).collect()}
+    assert n[("hive://gold.scm", "Schema")]["name"] == "scm"
+    assert n[("hive://gold.scm/_description", "Description")]["description"] == "the schema"
+    assert ("hive://gold.other/_quality_description", "Description") in n
+    r = {(x["start_key"], x["end_key"]) for x in am.schema_relations(schemas).collect()}
+    assert ("hive://gold.scm", "hive://gold.scm/_description") in r
+
+    es = am.neo4j_es_last_updated_nodes(spark, 1234).collect()[0]
+    assert es["key"] == "amundsen_updated_timestamp"
+    assert es["label"] == "Updatedtimestamp"
+    assert es["attributes"]["latest_timestmap"] == "1234"
+    assert es["attr_types"]["latest_timestmap"] == "int"
+
+    # badge: unsupported label raises; non-matching start keys filtered
+    badges = spark.createDataFrame(
+        [("beta", "status", "hive", "gold", "scm", "tbl")],
+        "name string, category string, database string, cluster string, "
+        "schema string, table_name string",
+    )
+    with pytest.raises(ValueError, match="not a valid start_label"):
+        am.badge_relations(badges, start_label="User")
+    # a table key does NOT satisfy the Column pattern -> filtered out
+    assert am.badge_relations(badges, start_label="Column").count() == 0
+    assert am.badge_relations(badges, start_label="Table").count() == 1
+    with_col = badges.withColumn("column_name", F.lit("c1"))
+    out = am.badge_relations(with_col, start_label="Column").collect()
+    assert out[0]["start_key"] == "hive://gold.scm/tbl/c1"
+
+    # watermark: rows without '=' in part_name are dropped (ref raises)
+    wm = spark.createDataFrame(
+        [("2024", "hive", "scm", "tbl", "ds=2024-01-01", "high_watermark", "gold"),
+         ("2024", "hive", "scm", "tbl", "not_partitioned", "high_watermark", "gold")],
+        "create_time string, database string, schema string, table_name string, "
+        "part_name string, part_type string, cluster string",
+    )
+    nodes = am.watermark_nodes(wm).collect()
+    assert len(nodes) == 1
+    assert nodes[0]["attributes"]["partition_key"] == "ds"
+    assert nodes[0]["attributes"]["partition_value"] == "2024-01-01"
+    assert am.watermark_relations(wm).count() == 1

@@ -286,3 +286,81 @@ def test_usage_channel_wires_search_doc_usage(spark, tmp_path):
         pipe.graph_nodes.read(), pipe.graph_relations.read()).collect()}
     assert reb[k1]["total_usage"] == 9 and reb[k1]["unique_usage"] == 2
     assert reb[k1]["column_descriptions"] == ["new body"]
+
+
+def test_kafka_record_parse_and_dead_letter(spark, tmp_path):
+    """Kafka record parse + transformer_thrown_exception policy
+    (kafka_source_extractor.py:107-114): drop / fail / dead-letter sink."""
+    import json as _json
+
+    import pytest
+
+    from amundsendatabuilder_spark.streaming.pipeline import (
+        apply_bad_record_policy,
+        parse_kafka_records,
+    )
+
+    ok = _json.dumps({"event_id": 1, "event_ts": "2024-01-02T00:00:00.000Z",
+                      "op": "insert", "repo": "r1", "path": "p1",
+                      "commit": "c1", "lang": "python",
+                      "content": "def f(x):\n    return x\n", "shard": 0})
+    rows = [(b"k1", ok.encode(), "t", 0, 100),
+            (b"k2", b"{not json", "t", 0, 101),
+            (b"k3", b'{"other": 1}', "t", 1, 7)]
+    raw = spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, offset long"
+    )
+    good, bad = parse_kafka_records(raw)
+    g = good.collect()
+    assert len(g) == 1 and g[0]["repo"] == "r1" and g[0]["event_id"] == 1
+    assert good.columns[: 3] == ["event_id", "event_ts", "op"]
+    b = bad.collect()
+    assert {x["offset"] for x in b} == {101, 7}
+
+    # drop: no jobs, nothing recorded
+    assert apply_bad_record_policy(bad) == 0
+    # dead-letter: raw records preserved with source coordinates
+    dl = str(tmp_path / "dead")
+    apply_bad_record_policy(bad, on_bad_record="drop", dead_letter_dir=dl)
+    kept = spark.read.parquet(dl)
+    assert kept.count() == 2 and set(kept.columns) == {"__raw", "topic", "partition", "offset"}
+    # fail: poisoned batch aborts loudly
+    with pytest.raises(ValueError, match="malformed changelog record"):
+        apply_bad_record_policy(bad, on_bad_record="fail")
+    # and a fully-clean batch passes every policy
+    _, clean_bad = parse_kafka_records(
+        spark.createDataFrame([(b"k", ok.encode(), "t", 0, 1)],
+                              "key binary, value binary, topic string, partition int, offset long"))
+    assert apply_bad_record_policy(clean_bad, on_bad_record="fail") == 0
+
+
+def test_persist_materialization_matches_default(spark, tmp_path, chunks):
+    """materialize='persist' (fault-tolerant lineage) converges to the same
+    state as the localCheckpoint default."""
+    paths, _ = chunks
+    a = CDCPipeline(spark, str(tmp_path / "a"), n_buckets=16)
+    a.replay_batches(paths[:2])
+    b = CDCPipeline(spark, str(tmp_path / "b"), n_buckets=16, materialize="persist")
+    b.replay_batches(paths[:2])
+    assert state_digest(a.current_entities()) == state_digest(b.current_entities())
+    assert state_digest(a.search_documents.read()) == state_digest(b.search_documents.read())
+
+
+def test_custom_manifest_io_is_used(spark, tmp_path):
+    """ManifestIO is pluggable (object-store commit abstraction)."""
+    from amundsendatabuilder_spark.plans.lake import ManifestIO, SnapshotLake
+    from pyspark.sql import types as T
+
+    calls = {"swaps": 0}
+
+    class CountingIO(ManifestIO):
+        def swap_pointer(self, pointer_path, content):
+            calls["swaps"] += 1
+            super().swap_pointer(pointer_path, content)
+
+    lake = SnapshotLake(spark, str(tmp_path / "wh"), manifest_io=CountingIO())
+    sch = T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.StringType())])
+    t = lake.create_table("t", sch, ["k"], n_buckets=4)
+    t.merge_upsert(spark.createDataFrame([("a", "1")], sch), 0)
+    assert calls["swaps"] == 2  # create + one merge commit
+    assert {r["k"] for r in lake.table("t").read().collect()} == {"a"}
