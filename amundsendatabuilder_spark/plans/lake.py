@@ -459,8 +459,16 @@ class SnapshotTable:
         publish_tag: str | None = None,
         strategy: str = "join",
         check_unique: bool | None = None,
+        materialize_batch: bool = True,
     ) -> dict[str, Any] | None:
         """Heavy phase of the upsert: compute + write the new data files.
+
+        ``materialize_batch=False`` skips the local checkpoint of the batch:
+        right when the batch is a NARROW derivation of an already-materialized
+        frame (the pipeline's model expansions over checkpointed entities) —
+        recomputing it for the two consumers (bucket scan, merge source) is
+        cheap CPU, while materializing another map-heavy copy costs memory
+        bandwidth, the scarce resource on a many-core box.
         Thread-safe across DIFFERENT tables — the pipeline prepares all four
         graph tables concurrently (one Spark job wave instead of four serial
         chains), then commits manifests in dependency order. Returns None if
@@ -512,10 +520,11 @@ class SnapshotTable:
         # coalesce first — model expansions are unions of many narrow frames
         # and would otherwise checkpoint hundreds of sliver partitions, and
         # every downstream stage would inherit that task count
-        target_p = self.spark.sparkContext.defaultParallelism
-        if batch.rdd.getNumPartitions() > target_p:
-            batch = batch.coalesce(target_p)
-        batch = batch.localCheckpoint(eager=True)
+        if materialize_batch:
+            target_p = self.spark.sparkContext.defaultParallelism
+            if batch.rdd.getNumPartitions() > target_p:
+                batch = batch.coalesce(target_p)
+            batch = batch.localCheckpoint(eager=True)
 
         # multi-match guard (Iceberg rule): the merge silently keeps duplicate
         # key rows if the batch violates the unique-per-key contract, so fail
@@ -569,10 +578,18 @@ class SnapshotTable:
             merged, obs = self._merge_join(
                 src, target, new_schema, keys, snap.n_buckets, tag, now_ms
             )
-            # second shuffle: bucket-align before write → one file per bucket
-            merged.repartition("__bucket").write.partitionBy("__bucket").mode(
-                "overwrite"
-            ).parquet(epoch_dir)
+            # second shuffle: bucket-align before write → one file per bucket.
+            # Explicit partition count: without it AQE coalesces this exchange
+            # toward the 64MB advisory size and the WRITE stage runs on a
+            # handful of tasks regardless of cluster width (measured: the
+            # biggest low-parallelism span in the epoch). hash(bucket) %
+            # numPartitions keeps each bucket wholly in one task, so the
+            # one-file-per-bucket layout is preserved.
+            n_write = max(1, min(snap.n_buckets,
+                                 self.spark.sparkContext.defaultParallelism * 2))
+            merged.repartition(n_write, "__bucket").write.partitionBy(
+                "__bucket"
+            ).mode("overwrite").parquet(epoch_dir)
             try:
                 m = obs.get
             except Exception:

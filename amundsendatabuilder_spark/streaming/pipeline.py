@@ -224,26 +224,36 @@ class CDCPipeline:
         if self.repo_files.last_epoch("cdc") >= epoch_id:
             return {"epoch": epoch_id, "skipped": True}
 
-        winners = lww_dedup_agg(batch, ENTITY_KEYS, ["event_ts", "commit"])
-        winners = self._mat(winners)  # reused 4×
-        mark("dedup+ckpt")
-
         # current state for the touched keys — INCLUDING tombstones (a deleted
         # entity must keep winning against late stale events). ONE pruned
         # point-lookup serves both the LWW gate (ordering columns) and the
         # child-diff expansion (feature columns); `content` — the widest
-        # column — is never re-read after ingest. Fusing the two reads halves
-        # the O(1)-per-epoch driver-job fixed cost of the old-state phase.
+        # column — is never re-read after ingest. The lookup keys come from
+        # the RAW batch (same key set as the dedup output), so the dedup and
+        # the old-state read are independent jobs and run CONCURRENTLY —
+        # driver-serial wall time is the scaling bottleneck in local mode
+        # (measured: 35% of replay wall had zero active tasks before this).
         feature_cols = [
             f.name for f in self.repo_files.current().schema().fields
             if f.name not in ("content", "publish_tag", "updated_ms")
         ]
-        old_all = self._mat(
-            self.repo_files.read_for_keys(
-                winners.select(*ENTITY_KEYS), columns=feature_cols
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _dedup():
+            return self._mat(lww_dedup_agg(batch, ENTITY_KEYS, ["event_ts", "commit"]))
+
+        def _old_state():
+            return self._mat(
+                self.repo_files.read_for_keys(
+                    batch.select(*ENTITY_KEYS).dropDuplicates(ENTITY_KEYS),
+                    columns=feature_cols,
+                )
             )
-        )
-        mark("old_state+ckpt")
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_w, f_o = ex.submit(_dedup), ex.submit(_old_state)
+            winners, old_all = f_w.result(), f_o.result()
+        mark("dedup+old_state (concurrent)")
 
         # cross-batch LWW gate (north rule): a batch row takes effect ONLY if
         # its (event_ts, commit) beats the stored row's — batches may arrive
@@ -364,12 +374,18 @@ class CDCPipeline:
             "docs": (self.search_documents, doc_batch, {"delete_col": "__delete"}),
             "entities": (self.repo_files, entity_batch, {}),
         }
+        # every batch here is a narrow derivation of the checkpointed
+        # winners/old_all/new_entities frames; materializing them per table
+        # trades one extra job + a map-heavy copy for shallower merge plans
+        # (less driver-serial Catalyst time). Env-switchable for benching.
+        mat = os.environ.get("SPARK_CDC_MAT_BATCH", "0") == "1"
         if self.parallel_prepare:
             with ThreadPoolExecutor(max_workers=4) as ex:
                 futs = {
                     name: ex.submit(
                         tbl.prepare_upsert, b, epoch_id,
-                        channel="cdc", publish_tag=tag, **kw,
+                        channel="cdc", publish_tag=tag,
+                        materialize_batch=mat, **kw,
                     )
                     for name, (tbl, b, kw) in jobs.items()
                 }
@@ -377,7 +393,8 @@ class CDCPipeline:
         else:
             preps = {
                 name: tbl.prepare_upsert(
-                    b, epoch_id, channel="cdc", publish_tag=tag, **kw
+                    b, epoch_id, channel="cdc", publish_tag=tag,
+                    materialize_batch=mat, **kw
                 )
                 for name, (tbl, b, kw) in jobs.items()
             }
@@ -501,7 +518,8 @@ class CDCPipeline:
         }
         preps = {
             name: tbl.prepare_upsert(b, epoch_id, channel="usage",
-                                     publish_tag=tag, **kw)
+                                     publish_tag=tag,
+                                     materialize_batch=False, **kw)
             for name, (tbl, b, kw) in jobs.items()
         }
         out: dict[str, Any] = {"epoch": epoch_id}
