@@ -485,12 +485,24 @@ def q_dashboard_search_docs(spark, sf_dir):
 def q_user_search_docs(spark, sf_dir):
     """UserESDocument build over the CDC graph (user search Cypher,
     neo4j_search_data_extractor.py:64-83): owners + readers with
-    total_read / total_own aggregates."""
+    total_read / total_own aggregates, plus manager_email flowing through the
+    User model's MANAGE_BY relation wire format (user.py:33-34) — a
+    deterministic org chart (reader_k reports to reader_{(k+1)%11}) is built
+    via ``user_relations`` so the oracle value-checks the relation type."""
+    from amundsendatabuilder_spark.operators.amundsen_models import user_relations
     from amundsendatabuilder_spark.operators.search_docs import user_docs_from_graph
 
     pipe = _run_cdc(spark, sf_dir)
-    docs = user_docs_from_graph(pipe.graph_nodes.read(), pipe.graph_relations.read())
-    return docs.select("email", "full_name", "is_active",
+    org = spark.range(11).select(
+        F.concat(F.lit("reader_"), F.col("id"), F.lit("@example.com")).alias("email"),
+        F.concat(F.lit("reader_"), (F.col("id") + 1) % 11,
+                 F.lit("@example.com")).alias("manager_email"),
+    )
+    rels = pipe.graph_relations.read().unionByName(
+        user_relations(org).drop("scope_key"), allowMissingColumns=True
+    )
+    docs = user_docs_from_graph(pipe.graph_nodes.read(), rels)
+    return docs.select("email", "full_name", "is_active", "manager_email",
                        "total_read", "total_own", "total_follow")
 
 
@@ -950,14 +962,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'reader_' || ((doc_id * 3 + 1) % 11) || '@example.com',
                      doc_id % 5 + 1 FROM live),
             read_agg AS (SELECT email, sum(c) AS total_read FROM readers GROUP BY email),
-            allu AS (SELECT email FROM own_agg UNION SELECT email FROM read_agg)
+            allu AS (SELECT email FROM own_agg UNION SELECT email FROM read_agg),
+            org AS (
+              SELECT 'reader_' || u || '@example.com' AS email,
+                     'reader_' || ((u + 1) % 11) || '@example.com' AS manager_email
+              FROM range(11) t(u))
             SELECT a.email, a.email AS full_name, true AS is_active,
+                   g.manager_email,
                    CAST(coalesce(r.total_read, 0) AS BIGINT) AS total_read,
                    CAST(coalesce(o.total_own, 0) AS BIGINT) AS total_own,
                    CAST(0 AS BIGINT) AS total_follow
             FROM allu a
             LEFT JOIN own_agg o USING (email)
             LEFT JOIN read_agg r USING (email)
+            LEFT JOIN org g USING (email)
         """,
         "cdc_usage_rels": """
             WITH live AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 != 0),

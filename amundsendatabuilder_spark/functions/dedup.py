@@ -224,16 +224,27 @@ def hamming_distance(a, b):
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3,
-                       hasher: str = "xxhash64") -> DataFrame:
+                       hasher: str = "xxhash64",
+                       max_candidate_pairs: int | None = 100_000_000) -> DataFrame:
     """Candidate near-dups by SimHash: block on ``max_hamming + 1`` bit
     segments — by pigeonhole, any pair within hamming ≤ max_hamming must
     agree exactly on at least one segment (the r01 4-quarter scheme was
     complete only for hamming ≤ 3; this generalizes it) — then verify the
     full hamming distance. Blocking is COMPLETE: output equals brute-force
     all-pairs at the same threshold, which is what the SQL oracle checks.
-    Scale note: segment width = 64/(max_hamming+1) bits; looser thresholds
-    mean coarser buckets and more candidate pairs — the inherent pigeonhole
-    blocking tradeoff. Keep max_hamming small on large corpora."""
+
+    Scale envelope: segment width w = 64/(max_hamming+1) bits ⇒ at most 2^w
+    distinct bucket values per segment, so on n docs the expected candidate
+    count is ≥ (max_hamming+1) · n²/2^(w+1) — quadratic per bucket once
+    n ≫ 2^w (e.g. max_hamming=8 ⇒ w≈7 ⇒ 128 buckets). The guard ENFORCES
+    that envelope: the exact candidate-pair count Σ n_b·(n_b−1)/2 over the
+    segment buckets is computed first (one cheap aggregation over the
+    simhash frame) and the job aborts if it exceeds ``max_candidate_pairs``
+    (same fail-loudly contract as the staleness 5% guard,
+    ``neo4j_staleness_removal_task.py:33-45``). Pass ``None`` to disable.
+    For loose thresholds on large corpora use multi-stage blocking (tighten
+    max_hamming, or pre-shard by exact-dup fingerprint) instead of raising
+    the budget."""
     nseg = max_hamming + 1
     bounds = [round(64 * i / nseg) for i in range(nseg + 1)]
     s = simhash(df, id_col, text_col, hasher=hasher).localCheckpoint(eager=True)
@@ -250,6 +261,20 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         F.col("simhash"),
         F.posexplode(F.array(*[_segment(i) for i in range(nseg)])).alias("q", "qval"),
     )
+    if max_candidate_pairs is not None:
+        n_cand = (
+            segments.groupBy("q", "qval")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("c"))
+            .first()["c"]
+        )
+        if n_cand and n_cand > max_candidate_pairs:
+            raise RuntimeError(
+                f"simhash blocking guard: {int(n_cand)} candidate pairs at "
+                f"max_hamming={max_hamming} (segment width ≈{64 // nseg} bits) "
+                f"exceeds budget {max_candidate_pairs} — tighten max_hamming, "
+                f"pre-shard the corpus, or raise/disable max_candidate_pairs"
+            )
     a = segments.select("q", "qval", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"))
     b = segments.select("q", "qval", F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"))
     return (

@@ -363,9 +363,12 @@ def user_nodes(users: DataFrame) -> DataFrame:
 
 
 def user_relations(users: DataFrame) -> DataFrame:
+    """Employee-[MANAGE_BY]->Manager, reverse MANAGE — the reference's exact
+    wire constants (``databuilder/models/user.py:33-34,160-175``); emitted only
+    when manager_email is non-empty (:161-162)."""
     u = users.where(F.col("manager_email").isNotNull() & (F.length("manager_email") > 0))
     return _rel(u, F.col("email"), "User", F.col("manager_email"), "User",
-                "MANAGED_BY", "MANAGES")
+                "MANAGE_BY", "MANAGE")
 
 
 # ---- TableSource (table_source.py:12-98) --------------------------------------

@@ -254,6 +254,66 @@ DIALECT_METADATA_SQL: dict[str, str] = {
 }
 
 
+# Last-updated registry — per-table freshness scans that feed the
+# TableLastUpdated model (``table_last_updated_nodes/relations``). Row
+# contract: cluster, schema, table_name, last_updated_time (epoch seconds).
+DIALECT_LAST_UPDATED_SQL: dict[str, str] = {
+    # snowflake INFORMATION_SCHEMA.TABLES.last_altered — covers DML and DDL
+    # (snowflake_table_last_updated_extractor.py:27-36; default where-clause
+    # ' WHERE t.last_altered IS NOT NULL ', :51)
+    "snowflake": """
+    SELECT lower({cluster_source}) AS cluster,
+           lower(t.table_schema) AS schema,
+           lower(t.table_name) AS table_name,
+           DATE_PART(EPOCH, t.last_altered) AS last_updated_time
+    FROM {database}.INFORMATION_SCHEMA.TABLES t
+    {where_clause_suffix}
+    """,
+    # hive metastore, partitioned tables: newest partition create time
+    # (hive_table_last_updated_extractor.py:61-72). Non-partitioned tables
+    # take the filesystem-probe path (sources/fs_probe.py) instead.
+    "hive": """
+    SELECT '{cluster}' AS cluster, d.NAME AS schema, t.TBL_NAME AS table_name,
+           MAX(p.CREATE_TIME) AS last_updated_time
+    FROM TBLS t
+    JOIN DBS d ON t.DB_ID = d.DB_ID
+    JOIN PARTITIONS p ON t.TBL_ID = p.TBL_ID
+    {where_clause_suffix}
+    GROUP BY d.NAME, t.TBL_NAME
+    """,
+}
+
+
+def last_updated_scan(
+    spark: SparkSession,
+    url: str,
+    dialect: str,
+    where_clause_suffix: str = "",
+    cluster: str = "master",
+    sql_overrides: dict[str, str] | None = None,
+    **jdbc_opts,
+) -> DataFrame:
+    """Run a dialect's last-updated SQL over JDBC →
+    (cluster, schema, table_name, last_updated_time) rows, ready for
+    ``table_last_updated_nodes/relations`` (add the db column the model
+    expects via ``withColumn('db', lit(dialect))``)."""
+    if dialect not in DIALECT_LAST_UPDATED_SQL:
+        raise ValueError(
+            f"unknown dialect {dialect!r}; have {sorted(DIALECT_LAST_UPDATED_SQL)}")
+    if dialect == "snowflake" and not where_clause_suffix:
+        where_clause_suffix = "WHERE t.last_altered IS NOT NULL"
+    slots = {"where_clause_suffix": where_clause_suffix, "cluster": cluster,
+             "cluster_source": f"'{cluster}'", "database": "prod"}
+    if sql_overrides:
+        slots.update(sql_overrides)
+    import string
+
+    sql = DIALECT_LAST_UPDATED_SQL[dialect]
+    used = {fname for _, fname, _, _ in string.Formatter().parse(sql) if fname}
+    sql = sql.format(**{k: v for k, v in slots.items() if k in used})
+    return jdbc_query(spark, url, sql.strip(), **jdbc_opts)
+
+
 def metadata_scan(
     spark: SparkSession,
     url: str,

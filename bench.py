@@ -256,6 +256,9 @@ def main() -> None:
             "metric": "cdc_replay_wall_sec_4N",
             "value": big["wall"],
             "queries": qtimes,
+            # r2→r3 comparability: the query section always runs at this fixed
+            # width regardless of the replay scaling pair (VERDICT r02 #10)
+            "queries_cores": CPUS,
             "controls": controls,
             "replay": {
                 "events": N_EVENTS,

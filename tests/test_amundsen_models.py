@@ -409,3 +409,23 @@ def test_straggler_models_golden(spark):
     assert nodes[0]["attributes"]["partition_key"] == "ds"
     assert nodes[0]["attributes"]["partition_value"] == "2024-01-01"
     assert am.watermark_relations(wm).count() == 1
+
+
+def test_user_manager_relation_wire_format(spark):
+    """Reference tests/unit/models/test_user.py:59-75: the employee->manager
+    relation is User-[MANAGE_BY]->User with reverse MANAGE (user.py:33-34),
+    emitted only when manager_email is non-empty."""
+    users = spark.createDataFrame(
+        [("test@email.com", "test_first", "test_last", "test_first test_last",
+          "github_test", "test_team", "FTE", "test_manager@email.com", "slack", "swe"),
+         ("nomgr@email.com", "a", "b", "a b", "g", "t", "FTE", "", "s", "swe")],
+        "email string, first_name string, last_name string, full_name string, "
+        "github_username string, team_name string, employee_type string, "
+        "manager_email string, slack_id string, role_name string",
+    )
+    rels = rel_dicts(am.user_relations(users))
+    assert rels == [{
+        "START_KEY": "test@email.com", "START_LABEL": "User",
+        "END_KEY": "test_manager@email.com", "END_LABEL": "User",
+        "TYPE": "MANAGE_BY", "REVERSE_TYPE": "MANAGE",
+    }]

@@ -215,3 +215,17 @@ def test_md5_hasher_variants_consistent(spark, docs):
     sh = {(r["id_a"], r["id_b"]): r["hamming"]
           for r in simhash_near_pairs(docs, max_hamming=4, hasher="md5").collect()}
     assert sh[(7, 100)] == 0
+
+
+def test_simhash_candidate_budget_guard(spark, docs):
+    """A too-coarse blocking setup (loose max_hamming over a hot corpus) must
+    fail loudly with the candidate-budget guard, not run a quadratic join."""
+    import pytest
+
+    from amundsendatabuilder_spark.functions.dedup import simhash_near_pairs
+
+    with pytest.raises(RuntimeError, match="simhash blocking guard"):
+        simhash_near_pairs(docs, max_hamming=8, max_candidate_pairs=3).count()
+    # same setup with the budget disabled still runs
+    assert simhash_near_pairs(docs, max_hamming=8,
+                              max_candidate_pairs=None).count() >= 0

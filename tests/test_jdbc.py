@@ -133,3 +133,73 @@ def test_jdbc_partitioned_read_options(spark, derby_url):
     assert out.count() == 5
     with pytest.raises(ValueError, match="partitioned read"):
         jdbc_query(spark, derby_url, "SELECT 1", partition_column="x")
+
+
+def test_last_updated_registry_and_fs_probe(spark, tmp_path):
+    """SnowflakeTableLastUpdatedExtractor registry entry
+    (snowflake_table_last_updated_extractor.py:27-36) + the distributed
+    fs-probe path for non-partitioned Hive tables
+    (hive_table_last_updated_extractor.py:235-281)."""
+    import os
+    import re
+    import time
+
+    from amundsendatabuilder_spark.sources.fs_probe import (
+        merge_last_updated,
+        table_last_updated_fs,
+    )
+    from amundsendatabuilder_spark.sources.jdbc import (
+        DIALECT_LAST_UPDATED_SQL,
+        last_updated_scan,
+    )
+
+    # registry: templates format cleanly, keep the row contract, and the
+    # snowflake default where-clause (ref :51) is applied
+    for dialect in DIALECT_LAST_UPDATED_SQL:
+        with pytest.raises(Exception):
+            last_updated_scan(spark, "jdbc:derby:/nonexistent-db-dir", dialect,
+                              driver=DERBY_DRIVER)
+        sql = DIALECT_LAST_UPDATED_SQL[dialect]
+        for alias in ("cluster", "schema", "table_name", "last_updated_time"):
+            assert re.search(alias, sql, re.I), (dialect, alias)
+    assert "last_altered IS NOT NULL" in DIALECT_LAST_UPDATED_SQL["snowflake"].format(
+        cluster_source="'m'", database="prod",
+        where_clause_suffix="WHERE t.last_altered IS NOT NULL")
+    with pytest.raises(ValueError, match="unknown dialect"):
+        last_updated_scan(spark, "jdbc:x", "oracle9i")
+
+    # fs probe over a local directory fixture: first-level only, empty and
+    # over-threshold locations skipped
+    t1 = tmp_path / "t1"; t1.mkdir()
+    (t1 / "part-0.parquet").write_text("x")
+    (t1 / "part-1.parquet").write_text("y")
+    nested = t1 / "sub"; nested.mkdir()
+    (nested / "deep.parquet").write_text("z")  # first level only: ignored
+    old, new = time.time() - 9000, time.time() - 100
+    os.utime(t1 / "part-0.parquet", (old, old))
+    os.utime(t1 / "part-1.parquet", (new, new))
+    os.utime(nested / "deep.parquet", (time.time(), time.time()))
+    t2 = tmp_path / "t2"; t2.mkdir()  # no files -> no row
+    t3 = tmp_path / "t3"; t3.mkdir()
+    for i in range(5):
+        (t3 / f"f{i}").write_text("w")
+
+    tables = spark.createDataFrame(
+        [("core", "t1", str(t1)), ("core", "t2", str(t2)),
+         ("core", "t3", str(t3)), ("core", "gone", str(tmp_path / "nope"))],
+        "schema string, table_name string, location string",
+    )
+    got = {(r["schema"], r["table_name"]): r["last_updated_time"]
+           for r in table_last_updated_fs(tables, filecheck_threshold=3).collect()}
+    assert set(got) == {("core", "t1")}  # t2 empty, t3 over threshold, gone missing
+    assert got[("core", "t1")] == int(new)
+
+    # union with the metastore partitioned path: newer timestamp wins
+    part = spark.createDataFrame(
+        [("core", "t1", int(old)), ("ops", "p1", 1700000000)],
+        "schema string, table_name string, last_updated_time long",
+    )
+    fs = table_last_updated_fs(tables, filecheck_threshold=3)
+    merged = {(r["schema"], r["table_name"]): r["last_updated_time"]
+              for r in merge_last_updated(part, fs).collect()}
+    assert merged == {("core", "t1"): int(new), ("ops", "p1"): 1700000000}
