@@ -564,6 +564,39 @@ def q_metastore_regroup(spark, sf_dir):
     )
 
 
+def q_catalog_scan(spark, sf_dir):
+    """Spark-catalog metadata scan (DeltaLakeMetadataExtractor,
+    delta_lake_metadata_extractor.py:118,200-276): deterministic catalog
+    fixture tables → DESCRIBE EXTENDED scrape → standard per-column contract.
+    The oracle is the literal expected contract (the fixture is fully
+    deterministic), value-checking descriptions, partition tagging, view
+    typing, and sort order."""
+    from amundsendatabuilder_spark.sources.spark_catalog import catalog_metadata_scan
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS oracle_cat")
+    spark.sql("DROP TABLE IF EXISTS oracle_cat.repo_files_meta")
+    spark.sql(
+        "CREATE TABLE oracle_cat.repo_files_meta (repo STRING COMMENT 'repo slug', "
+        "path STRING, commit STRING, lang STRING, content STRING, ds STRING) "
+        "USING parquet PARTITIONED BY (ds) COMMENT 'repo files'"
+    )
+    spark.sql("DROP VIEW IF EXISTS oracle_cat.langs_v")
+    spark.sql(
+        "CREATE VIEW oracle_cat.langs_v AS "
+        "SELECT lang, count(*) AS n FROM oracle_cat.repo_files_meta GROUP BY lang"
+    )
+    scan = catalog_metadata_scan(spark, database="delta", cluster="gold",
+                                 schema_list=["oracle_cat"])
+    return scan.select(
+        "database", "cluster", "schema", "name",
+        F.coalesce("description", F.lit("")).alias("description"),
+        "col_name",
+        F.coalesce("col_description", F.lit("")).alias("col_description"),
+        "col_type",
+        F.col("col_sort_order").cast("long").alias("col_sort_order"),
+        "is_view", "is_partition")
+
+
 def q_cdc_usage_rels(spark, sf_dir):
     """READ_BY relations merged by the usage channel: Table-[READ_BY]->User
     with accumulated read_count (TableColumnUsage expansion,
@@ -619,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "metastore_regroup": q_metastore_regroup,
+        "catalog_scan": q_catalog_scan,
         "dashboard_search_docs": q_dashboard_search_docs,
         "user_search_docs": q_user_search_docs,
         "cdc_replay_tables": q_cdc_replay_tables,
@@ -911,6 +945,20 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(col_name, ',' ORDER BY so) AS col_names,
                    string_agg(col_type, ',' ORDER BY so) AS col_types
             FROM cols GROUP BY schema, name
+        """,
+        "catalog_scan": """
+            SELECT 'delta' AS database, 'gold' AS cluster,
+                   'oracle_cat' AS schema, t.* FROM (VALUES
+              ('repo_files_meta', 'repo files', 'repo', 'repo slug', 'string', CAST(0 AS BIGINT), false, false),
+              ('repo_files_meta', 'repo files', 'path', '', 'string', 1, false, false),
+              ('repo_files_meta', 'repo files', 'commit', '', 'string', 2, false, false),
+              ('repo_files_meta', 'repo files', 'lang', '', 'string', 3, false, false),
+              ('repo_files_meta', 'repo files', 'content', '', 'string', 4, false, false),
+              ('repo_files_meta', 'repo files', 'ds', '', 'string', 5, false, true),
+              ('langs_v', '', 'lang', '', 'string', 0, true, false),
+              ('langs_v', '', 'n', '', 'bigint', 1, true, false)
+            ) t(name, description, col_name, col_description, col_type,
+                col_sort_order, is_view, is_partition)
         """,
         "dashboard_search_docs": """
             WITH dash AS (SELECT DISTINCT p_partkey % 40 AS did FROM part),

@@ -1,0 +1,97 @@
+"""DeltaLakeMetadataExtractor parity over the session catalog: real
+CREATE TABLE/VIEW + DESCRIBE EXTENDED round trips, partition-column tagging,
+regroup into TableMetadata, and the last-updated path (reference
+tests/unit/extractor/test_deltalake_extractor.py scrapes a local
+SparkSession the same way)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from amundsendatabuilder_spark.sources.jdbc import regroup_to_table_metadata
+from amundsendatabuilder_spark.sources.spark_catalog import (
+    catalog_last_updated,
+    catalog_metadata_scan,
+    catalog_table_rows,
+)
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS cat_test")
+    spark.sql("DROP TABLE IF EXISTS cat_test.sales")
+    spark.sql(
+        "CREATE TABLE cat_test.sales (order_id BIGINT COMMENT 'pk', "
+        "amount DOUBLE, ds STRING) USING parquet PARTITIONED BY (ds) "
+        "COMMENT 'daily sales'"
+    )
+    spark.sql("DROP VIEW IF EXISTS cat_test.sales_v")
+    spark.sql("CREATE VIEW cat_test.sales_v AS SELECT order_id FROM cat_test.sales")
+    spark.sql("CREATE DATABASE IF NOT EXISTS cat_skip")
+    spark.sql("DROP TABLE IF EXISTS cat_skip.hidden")
+    spark.sql("CREATE TABLE cat_skip.hidden (x INT) USING parquet")
+    yield spark
+    spark.sql("DROP VIEW IF EXISTS cat_test.sales_v")
+    spark.sql("DROP TABLE IF EXISTS cat_test.sales")
+    spark.sql("DROP TABLE IF EXISTS cat_skip.hidden")
+    spark.sql("DROP DATABASE IF EXISTS cat_test")
+    spark.sql("DROP DATABASE IF EXISTS cat_skip")
+
+
+def test_catalog_scan_contract(catalog):
+    spark = catalog
+    scan = catalog_metadata_scan(
+        spark, database="delta", cluster="gold", exclude_list=["cat_skip"]
+    )
+    rows = {(r["schema"], r["name"], r["col_name"]): r for r in scan.collect()}
+    assert ("cat_skip", "hidden", "x") not in rows
+
+    t = rows[("cat_test", "sales", "order_id")]
+    assert t["description"] == "daily sales"
+    assert t["col_description"] == "pk"
+    assert t["col_type"] == "bigint"
+    assert t["is_view"] is False
+    # partition tagging (reference PARTITION_COLUMN_TAG, :306-311)
+    assert rows[("cat_test", "sales", "ds")]["is_partition"] is True
+    assert rows[("cat_test", "sales", "amount")]["is_partition"] is False
+    # the view is scraped via the DESCRIBE EXTENDED path
+    assert rows[("cat_test", "sales_v", "order_id")]["is_view"] is True
+
+    # schema_list narrows, mirroring SCHEMA_LIST_KEY
+    only = catalog_metadata_scan(spark, schema_list=["cat_skip"])
+    assert {r["schema"] for r in only.collect()} == {"cat_skip"}
+
+    # delta_tables_only drops parquet tables but keeps views (reference
+    # scrapes views regardless of provider, :226-241)
+    d_only = catalog_metadata_scan(
+        spark, schema_list=["cat_test"], delta_tables_only=True
+    )
+    assert {r["name"] for r in d_only.collect()} == {"sales_v"}
+
+
+def test_catalog_scan_feeds_regroup_and_models(catalog):
+    spark = catalog
+    scan = catalog_metadata_scan(spark, schema_list=["cat_test"])
+    tm = {
+        (r["schema"], r["name"]): r
+        for r in regroup_to_table_metadata(catalog_table_rows(scan)).collect()
+    }
+    sales = tm[("cat_test", "sales")]
+    assert [c["name"] for c in sales["columns"]] == ["order_id", "amount", "ds"]
+    assert sales["description"] == "daily sales"
+
+    from amundsendatabuilder_spark.operators.amundsen_models import (
+        table_metadata_nodes,
+    )
+    from amundsendatabuilder_spark.sources.jdbc import explode_table_columns
+
+    tables = regroup_to_table_metadata(catalog_table_rows(scan))
+    keys = {r["key"] for r in table_metadata_nodes(
+        tables, explode_table_columns(tables)).collect()}
+    assert "delta://gold.cat_test/sales" in keys
+    assert "delta://gold.cat_test/sales/order_id" in keys
+
+    # no lastModified without the delta jar -> empty last-updated frame with
+    # the right contract
+    lu = catalog_last_updated(scan)
+    assert lu.columns == ["cluster", "schema", "table_name", "last_updated_time"]
+    assert lu.count() == 0
