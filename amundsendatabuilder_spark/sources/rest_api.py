@@ -63,10 +63,51 @@ def _tokenize(p: str) -> list[str]:
     return toks
 
 
+def _expand_paths(json_path: str) -> list[str]:
+    """The reference extractors' jsonpath-rw dialect → flat path list:
+    ``(p)`` grouping parens strip; ``p | q`` unions split like commas; a
+    trailing bracket field list ``prefix[*].[a,b,c]`` (mode/redash/tableau
+    queries, e.g. ``mode_dashboard_utils.py:42``) expands to
+    ``prefix[*].a, prefix[*].b, prefix[*].c`` — jsonpath-rw returns those
+    row-major per match, which is exactly the AND interleave below."""
+    # split on , and | at bracket/paren depth 0 only — commas inside a field
+    # list [a,b,c] belong to that segment
+    pieces: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in json_path:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch in ",|" and depth == 0:
+            pieces.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    pieces.append("".join(buf))
+
+    expanded: list[str] = []
+    for p in pieces:
+        p = p.strip()
+        if p.startswith("(") and p.endswith(")"):
+            p = p[1:-1].strip()
+        if not p:
+            continue
+        if p.endswith("]") and not p.endswith("[*]"):
+            prefix, _, fields = p.rpartition("[")
+            prefix = prefix.rstrip(".")
+            for f in fields.rstrip("]").split(","):
+                expanded.append(f"{prefix}.{f.strip()}" if prefix else f.strip())
+        else:
+            expanded.append(p)
+    return expanded
+
+
 def json_path_values(payload: Any, json_path: str) -> list[Any]:
     """All matches, AND-style: comma-joined paths interleave per match group
     (reference: 'first n records will be first record')."""
-    paths = [p for p in json_path.split(",") if p.strip()]
+    paths = _expand_paths(json_path)
     if len(paths) == 1:
         return _find(payload, _tokenize(paths[0]))
     columns = [_find(payload, _tokenize(p)) for p in paths]

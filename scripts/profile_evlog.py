@@ -62,6 +62,8 @@ for f in evfiles:
             e = json.loads(line)
         except Exception:
             continue
+        if not isinstance(e, dict):
+            continue
         ev = e.get("Event")
         if ev == "SparkListenerJobStart" and e["Submission Time"] >= t0_ms:
             jobs[e["Job ID"]] = {"start": e["Submission Time"], "stages": e["Stage IDs"]}
