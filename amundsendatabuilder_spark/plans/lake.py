@@ -60,6 +60,20 @@ def _bucket_expr(key_cols: list[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+def engine_parallelism(spark: SparkSession) -> int:
+    """Partition-count target for engine-internal repartitions/coalesces.
+
+    Defaults to the session's core count, but honors
+    ``SPARK_CDC_TARGET_PARTITIONS`` so the SAME physical plan (same task
+    counts, same file layout) can run at different cluster widths — on a
+    real cluster partitioning is sized to the DATA and stays fixed while
+    executors scale; deriving it from current width would change the job
+    between a 250- and a 1000-executor run (and, measured in-sandbox, the
+    per-task fixed costs it adds at high width masquerade as poor scaling)."""
+    env = os.environ.get("SPARK_CDC_TARGET_PARTITIONS")
+    return int(env) if env else spark.sparkContext.defaultParallelism
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -390,7 +404,7 @@ class SnapshotTable:
             F.lit(1).alias("__src"),
         )
         unioned = t_side.unionByName(s_side)
-        n_part = max(1, min(n_buckets, self.spark.sparkContext.defaultParallelism * 2))
+        n_part = max(1, min(n_buckets, engine_parallelism(self.spark) * 2))
 
         out_schema = T.StructType(
             new_schema.fields + [T.StructField("__bucket", T.IntegerType())]
@@ -493,6 +507,15 @@ class SnapshotTable:
           flat/narrow schemas or when shuffle bandwidth (not CPU) is the
           bottleneck; loses when rows carry map/struct payloads.
         """
+        t_prof0 = time.time()
+        prof = os.environ.get("SPARK_CDC_PROFILE_PREPARE")
+        tname = os.path.basename(self.root)
+
+        def pmark(label):
+            if prof:
+                print(f"      [prep {tname} e{epoch_id}] {label} @ "
+                      f"{time.time() - t_prof0:.2f}s (abs {time.time() % 1000:.2f})", flush=True)
+
         snap = self.current()
         if snap.epochs.get(channel, -1) >= epoch_id:
             return None
@@ -515,26 +538,32 @@ class SnapshotTable:
         else:
             batch = batch.withColumn("__co", F.coalesce(F.col(create_only_col).cast("boolean"), F.lit(False)))
 
-        # materialize the batch once: it is consumed 3× below (touched-bucket
-        # scan, merge join, metrics) and its upstream plan may be expensive.
-        # coalesce first — model expansions are unions of many narrow frames
-        # and would otherwise checkpoint hundreds of sliver partitions, and
-        # every downstream stage would inherit that task count
-        if materialize_batch:
-            target_p = self.spark.sparkContext.defaultParallelism
-            if batch.rdd.getNumPartitions() > target_p:
-                batch = batch.coalesce(target_p)
-            batch = batch.localCheckpoint(eager=True)
-
-        # multi-match guard (Iceberg rule): the merge silently keeps duplicate
-        # key rows if the batch violates the unique-per-key contract, so fail
-        # loudly instead when checking is enabled (default: on under pytest /
-        # SPARK_CDC_CHECK_UNIQUE=1; off in production ingest — one extra
-        # batch-sized aggregation job per table per epoch)
+        # multi-match guard flag resolved first — it feeds the materialization
+        # decision below (default: on under pytest / SPARK_CDC_CHECK_UNIQUE=1;
+        # off in production ingest — one extra batch-sized aggregation job per
+        # table per epoch)
         if check_unique is None:
             check_unique = os.environ.get(
                 "SPARK_CDC_CHECK_UNIQUE", "1" if "PYTEST_CURRENT_TEST" in os.environ else "0"
             ) == "1"
+
+        # materialize the batch once WHEN it has several consumers (CoW:
+        # touched-bucket scan + merge join; any mode: the dup-check). The MoR
+        # append with the guard off consumes the batch exactly once — a
+        # checkpoint there is a pure extra job per table per epoch.
+        # coalesce first — model expansions are unions of many narrow frames
+        # and would otherwise checkpoint hundreds of sliver partitions, and
+        # every downstream stage would inherit that task count
+        if materialize_batch and (snap.mode != "mor" or check_unique):
+            target_p = engine_parallelism(self.spark)
+            if batch.rdd.getNumPartitions() > target_p:
+                batch = batch.coalesce(target_p)
+            batch = batch.localCheckpoint(eager=True)
+            pmark("ckpt")
+
+        # multi-match guard (Iceberg rule): the merge silently keeps duplicate
+        # key rows if the batch violates the unique-per-key contract, so fail
+        # loudly instead when checking is enabled
         if check_unique:
             dup = (
                 batch.groupBy(*keys).count().where(F.col("count") > 1)
@@ -546,12 +575,16 @@ class SnapshotTable:
                     f"multi-match, first 5): {[tuple(r[k] for k in keys) for r in dup]}"
                 )
 
-        touched = [r[0] for r in batch.select("__bucket").distinct().collect()]
-
         if snap.mode == "mor":
+            # the append path never prunes by touched buckets (nothing is
+            # read or rewritten) — buckets_touched comes from the written
+            # file layout, saving one job + collect per table per epoch
             return self._prepare_mor_append(
-                batch, snap, new_schema, keys, epoch_id, channel, tag, now_ms, touched
+                batch, snap, new_schema, keys, epoch_id, channel, tag, now_ms
             )
+
+        touched = [r[0] for r in batch.select("__bucket").distinct().collect()]
+        pmark("touched")
 
         old_files = [f for b in touched for f in snap.files.get(str(b), [])]
         target = self._read_files(old_files, new_schema)
@@ -586,10 +619,11 @@ class SnapshotTable:
             # numPartitions keeps each bucket wholly in one task, so the
             # one-file-per-bucket layout is preserved.
             n_write = max(1, min(snap.n_buckets,
-                                 self.spark.sparkContext.defaultParallelism * 2))
+                                 engine_parallelism(self.spark) * 2))
             merged.repartition(n_write, "__bucket").write.partitionBy(
                 "__bucket"
             ).mode("overwrite").parquet(epoch_dir)
+            pmark("merge_write")
             try:
                 m = obs.get
             except Exception:
@@ -598,6 +632,7 @@ class SnapshotTable:
                 # AssertionError (ADVICE r01) — recompute counts directly so
                 # streaming replay can't get permanently stuck on this epoch
                 m = self._merge_counts(src, target, keys)
+            pmark("counts")
 
         # per-bucket lineage from the written layout (footer-free: dir listing)
         new_files: dict[str, list[str]] = {}
@@ -628,6 +663,7 @@ class SnapshotTable:
         }
         epochs = dict(snap.epochs)
         epochs[channel] = epoch_id
+        pmark("done")
         return {
             "base_version": snap.version,
             "schema_json": json.dumps(new_schema.jsonValue()),
@@ -639,7 +675,7 @@ class SnapshotTable:
         }
 
     def _prepare_mor_append(self, batch, snap, new_schema, keys, epoch_id,
-                            channel, tag, now_ms, touched) -> dict[str, Any]:
+                            channel, tag, now_ms) -> dict[str, Any]:
         """Merge-on-read write path: ONE shuffle (repartition by bucket), no
         read of existing data, no rewrite — per-epoch cost is O(batch), not
         O(touched table data). Readers resolve winners by ``__seq``;
@@ -668,7 +704,7 @@ class SnapshotTable:
             F.count(F.lit(1)).alias("rows_seen"),
             F.sum(F.col(MOR_DEL).cast("long")).alias("rows_delete_markers"),
         )
-        n_part = max(1, min(snap.n_buckets, self.spark.sparkContext.defaultParallelism * 2))
+        n_part = max(1, min(snap.n_buckets, engine_parallelism(self.spark) * 2))
         epoch_dir = os.path.join(self.data_dir, f"d{epoch_id}_{uuid.uuid4().hex[:8]}")
         out.repartition(n_part, "__bucket").write.partitionBy("__bucket").mode(
             "overwrite"
@@ -693,7 +729,7 @@ class SnapshotTable:
             "publish_tag": tag,
             "rows_seen": m.get("rows_seen", 0),
             "rows_delete_markers": m.get("rows_delete_markers") or 0,
-            "buckets_touched": len(touched),
+            "buckets_touched": len(new_files),
             "buckets_total": snap.n_buckets,
             "mode": "mor",
             "seq": seq,
@@ -751,7 +787,7 @@ class SnapshotTable:
             "__bucket", _bucket_expr(keys, snap.n_buckets)
         )
         out_dir = os.path.join(self.data_dir, f"c{uuid.uuid4().hex[:8]}")
-        n_part = max(1, min(snap.n_buckets, self.spark.sparkContext.defaultParallelism * 2))
+        n_part = max(1, min(snap.n_buckets, engine_parallelism(self.spark) * 2))
         resolved.repartition(n_part, "__bucket").write.partitionBy(
             "__bucket"
         ).mode("overwrite").parquet(out_dir)
@@ -776,6 +812,69 @@ class SnapshotTable:
                 mode="mor",
                 delta_files=deltas,
                 seq=snap.seq,
+            )
+        )
+        return metrics
+
+    def replace_all(self, df: DataFrame, publish_tag: str = "snapshot") -> dict[str, Any]:
+        """CREATE-OR-REPLACE: rewrite the ENTIRE table content from ``df`` and
+        publish it as ONE atomic manifest swap — the engine-grade form of
+        ElasticsearchPublisher's bulk-load-into-new-index + alias flip
+        (``databuilder/publisher/elasticsearch_publisher.py:112-125``):
+        readers resolve through the CURRENT pointer, so they see either the
+        old snapshot or the complete new one, never a half-built index. Old
+        data files stay on disk for in-flight readers (the reference keeps
+        old indices the same way, deleting them on the NEXT publish).
+        Epoch ledgers carry over untouched; MoR tables restart with a clean
+        base (no deltas) at the next seq."""
+        snap = self.current()
+        keys = snap.key_cols
+        new_schema = self._evolve(snap.schema(), df.schema, set())
+        data_cols = [f.name for f in new_schema.fields]
+        now_ms = int(time.time() * 1000)
+        d_cols = set(df.columns)
+        out = df.select(
+            *[
+                (
+                    F.lit(publish_tag).alias(c) if c == "publish_tag"
+                    else F.lit(now_ms).cast("long").alias(c) if c == "updated_ms"
+                    else (F.col(c) if c in d_cols
+                          else F.lit(None).cast(new_schema[c].dataType)).alias(c)
+                )
+                for c in data_cols
+            ],
+            _bucket_expr(keys, snap.n_buckets).alias("__bucket"),
+        )
+        if snap.mode == "mor":
+            # base files in a MoR table are read through the service schema;
+            # stamp a fresh seq so later deltas (higher seq) win on read
+            out = out.select(
+                "*",
+                F.lit(snap.seq + 1).alias(MOR_SEQ),
+                F.lit(False).alias(MOR_DEL),
+                F.lit(False).alias(MOR_CO),
+            )
+        out_dir = os.path.join(self.data_dir, f"snap_{uuid.uuid4().hex[:8]}")
+        n_part = max(1, min(snap.n_buckets,
+                            engine_parallelism(self.spark) * 2))
+        out.repartition(n_part, "__bucket").write.partitionBy("__bucket").mode(
+            "overwrite"
+        ).parquet(out_dir)
+        new_files = self._list_bucket_files(out_dir)
+        metrics = {"publish_tag": publish_tag, "snapshot_buckets": len(new_files)}
+        self._commit(
+            Snapshot(
+                version=snap.version + 1,
+                schema_json=json.dumps(new_schema.jsonValue()),
+                key_cols=keys,
+                n_buckets=snap.n_buckets,
+                files=new_files,
+                epochs=dict(snap.epochs),
+                metrics=metrics,
+                parent=snap.version,
+                mode=snap.mode,
+                delta_files={},
+                seq=snap.seq + 1 if snap.mode == "mor" else snap.seq,
             )
         )
         return metrics

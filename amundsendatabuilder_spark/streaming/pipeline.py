@@ -56,6 +56,9 @@ from amundsendatabuilder_spark.plans.lake import SnapshotLake
 from amundsendatabuilder_spark.sources.changelog import CHANGELOG_SCHEMA
 
 ENTITY_KEYS = ["repo", "path"]
+# the usage channel's wire shape (BigQueryTableUsageExtractor audit rows,
+# ``databuilder/extractor/bigquery_usage_extractor.py:47-110``)
+USAGE_SCHEMA = "repo string, path string, user_email string, read_count long"
 NODE_KEYS = ["key", "label"]
 REL_KEYS = ["start_key", "end_key", "type"]
 DOC_KEYS = ["key"]
@@ -130,14 +133,15 @@ class CDCPipeline:
         self.compact_max_delta_files = compact_max_delta_files
         # concurrent prepares overlap the four merge job-chains into one wave
         # — a win whenever cores outnumber one chain's effective tasks
-        # (measured: 38s vs 52s per 1M-event replay at local[32]); on narrow
-        # sessions the contention outweighs the overlap
+        # (measured r2: 38s vs 52s per 1M-event replay at local[32]; r3 with
+        # data-sized partitioning the serial chains left local[8] ~50% idle);
+        # only a fully-saturated narrow session gains nothing from it
         if parallel_prepare is None:
             env = os.environ.get("SPARK_CDC_PARALLEL_PREPARE")
             if env is not None:
                 parallel_prepare = env == "1"
             else:
-                parallel_prepare = spark.sparkContext.defaultParallelism >= 16
+                parallel_prepare = spark.sparkContext.defaultParallelism >= 8
         self.parallel_prepare = parallel_prepare
         # intermediate-frame materialization: "local_checkpoint" (default —
         # fastest; lineage is CUT, so an executor loss on a real cluster
@@ -211,7 +215,16 @@ class CDCPipeline:
 
     # -- the foreachBatch body -------------------------------------------
 
-    def apply_batch(self, batch: DataFrame, epoch_id: int) -> dict[str, Any]:
+    def prepare_winners(self, batch: DataFrame) -> DataFrame:
+        """State-independent half of an epoch: scan + LWW dedup, materialized.
+        Safe to run for epoch N+1 while epoch N is still merging (it reads
+        only the chunk, never table state) — :meth:`replay_batches` prefetches
+        it on a side thread so the next epoch's shuffle fills the current
+        epoch's driver-serial gaps."""
+        return self._mat(lww_dedup_agg(batch, ENTITY_KEYS, ["event_ts", "commit"]))
+
+    def apply_batch(self, batch: DataFrame, epoch_id: int,
+                    winners: DataFrame | None = None) -> dict[str, Any]:
         t0 = time.time()
         dbg = os.environ.get("SPARK_CDC_DEBUG_TIMING")
         marks: list[tuple[str, float]] = []
@@ -219,7 +232,8 @@ class CDCPipeline:
         def mark(label: str) -> None:
             if dbg:
                 marks.append((label, round(time.time() - t0, 1)))
-                print(f"    [{epoch_id}] {label} @ {marks[-1][1]}s", flush=True)
+                print(f"    [{epoch_id}] {label} @ {marks[-1][1]}s "
+                      f"(abs {time.time() % 1000:.2f})", flush=True)
 
         if self.repo_files.last_epoch("cdc") >= epoch_id:
             return {"epoch": epoch_id, "skipped": True}
@@ -228,32 +242,43 @@ class CDCPipeline:
         # entity must keep winning against late stale events). ONE pruned
         # point-lookup serves both the LWW gate (ordering columns) and the
         # child-diff expansion (feature columns); `content` — the widest
-        # column — is never re-read after ingest. The lookup keys come from
-        # the RAW batch (same key set as the dedup output), so the dedup and
-        # the old-state read are independent jobs and run CONCURRENTLY —
-        # driver-serial wall time is the scaling bottleneck in local mode
-        # (measured: 35% of replay wall had zero active tasks before this).
+        # column — is never re-read after ingest.
         feature_cols = [
             f.name for f in self.repo_files.current().schema().fields
             if f.name not in ("content", "publish_tag", "updated_ms")
         ]
         from concurrent.futures import ThreadPoolExecutor
 
-        def _dedup():
-            return self._mat(lww_dedup_agg(batch, ENTITY_KEYS, ["event_ts", "commit"]))
-
-        def _old_state():
-            return self._mat(
+        if winners is not None:
+            # pipelined path: dedup was prefetched during the previous epoch;
+            # the point lookup keys come from the (small, checkpointed)
+            # winners frame — no raw-batch rescan at all
+            old_all = self._mat(
                 self.repo_files.read_for_keys(
-                    batch.select(*ENTITY_KEYS).dropDuplicates(ENTITY_KEYS),
-                    columns=feature_cols,
+                    winners.select(*ENTITY_KEYS), columns=feature_cols,
                 )
             )
+            mark("old_state (winners prefetched)")
+        else:
+            # streaming path: dedup and old-state are independent given the
+            # RAW batch's key set (same keys as the dedup output), so they
+            # run CONCURRENTLY — driver-serial wall is the local-mode
+            # scaling bottleneck (measured: 35% zero-task before this)
+            def _dedup():
+                return self.prepare_winners(batch)
 
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            f_w, f_o = ex.submit(_dedup), ex.submit(_old_state)
-            winners, old_all = f_w.result(), f_o.result()
-        mark("dedup+old_state (concurrent)")
+            def _old_state():
+                return self._mat(
+                    self.repo_files.read_for_keys(
+                        batch.select(*ENTITY_KEYS).dropDuplicates(ENTITY_KEYS),
+                        columns=feature_cols,
+                    )
+                )
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f_w, f_o = ex.submit(_dedup), ex.submit(_old_state)
+                winners, old_all = f_w.result(), f_o.result()
+            mark("dedup+old_state (concurrent)")
 
         # cross-batch LWW gate (north rule): a batch row takes effect ONLY if
         # its (event_ts, commit) beats the stored row's — batches may arrive
@@ -531,6 +556,24 @@ class CDCPipeline:
             )
         return out
 
+    # -- search snapshot publish (ElasticsearchPublisher equivalent) --------
+
+    def publish_search_snapshot(self, publish_tag: str = "search_snapshot") -> dict[str, Any]:
+        """Full search-index rebuild + atomic swap — the one-call equivalent
+        of ElasticsearchPublisher's bulk-load-into-new-index + alias flip
+        (``databuilder/publisher/elasticsearch_publisher.py:74-125``):
+        rebuild every TableESDocument from the graph tables
+        (``docs_from_graph`` — the literal Cypher translation) and commit the
+        result as ONE new ``search_documents`` manifest version. Readers
+        never observe a half-built index; the incremental per-epoch doc MERGE
+        continues from the new snapshot unchanged (epoch ledger carries
+        over). Use after disaster recovery or a doc-shape migration, exactly
+        where the reference reaches for its full republish."""
+        from amundsendatabuilder_spark.operators.search_docs import docs_from_graph
+
+        docs = docs_from_graph(self.graph_nodes.read(), self.graph_relations.read())
+        return self.search_documents.replace_all(docs, publish_tag=publish_tag)
+
     # -- reads / maintenance ------------------------------------------------
 
     def current_entities(self) -> DataFrame:
@@ -550,13 +593,33 @@ class CDCPipeline:
 
     # -- runners ------------------------------------------------------------
 
-    def replay_batches(self, chunk_paths: list[str], start_epoch: int = 0) -> list[dict]:
+    def replay_batches(self, chunk_paths: list[str], start_epoch: int = 0,
+                       pipelined: bool = True) -> list[dict]:
         """Batch-mode replay: one epoch per parquet chunk (resumable — applied
-        epochs no-op via the ledger)."""
-        out = []
-        for i, p in enumerate(chunk_paths):
-            df = self.spark.read.schema(CHANGELOG_SCHEMA).parquet(p)
-            out.append(self.apply_batch(df, start_epoch + i))
+        epochs no-op via the ledger). ``pipelined``: prefetch chunk i+1's
+        scan + LWW dedup on a side thread while epoch i merges — the prefetch
+        touches no table state, so exactly-once and LWW gating are unaffected
+        (its output is identical whenever it runs); its tasks fill the
+        driver-serial gaps of the in-flight epoch."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def load(p: str) -> DataFrame:
+            return self.spark.read.schema(CHANGELOG_SCHEMA).parquet(p)
+
+        out: list[dict] = []
+        if not pipelined:
+            for i, p in enumerate(chunk_paths):
+                out.append(self.apply_batch(load(p), start_epoch + i))
+            return out
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(self.prepare_winners, load(chunk_paths[0])) \
+                if chunk_paths else None
+            for i, p in enumerate(chunk_paths):
+                winners = fut.result()
+                if i + 1 < len(chunk_paths):
+                    fut = ex.submit(self.prepare_winners, load(chunk_paths[i + 1]))
+                out.append(self.apply_batch(None, start_epoch + i, winners=winners))
         return out
 
     def run_stream_kafka(
@@ -595,6 +658,35 @@ class CDCPipeline:
             raw.load().writeStream.foreachBatch(_apply)
             .option("checkpointLocation", checkpoint_dir)
             .queryName("cdc_ingest_kafka")
+        )
+        return (writer.trigger(availableNow=True) if available_now else writer).start()
+
+    def run_stream_usage(
+        self,
+        source_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 1,
+        available_now: bool = True,
+    ):
+        """Second independent stream: usage deltas → ``apply_usage``. The
+        reference runs its table-metadata and usage jobs as separate DAGs
+        against the same graph; here the two streams share tables safely
+        because each channel has its own epoch ledger row and its own
+        checkpoint, and commits are atomic manifest swaps. Run the streams
+        sequentially or interleaved — a kill anywhere replays exactly-once
+        per channel (see ``test_streaming_two_channel_kill_resume``)."""
+        from pyspark.sql import types as T
+
+        stream = (
+            self.spark.readStream.schema(T._parse_datatype_string(USAGE_SCHEMA))
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("recursiveFileLookup", "true")
+            .parquet(source_dir)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(lambda df, eid: self.apply_usage(df, eid))
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName("usage_ingest")
         )
         return (writer.trigger(availableNow=True) if available_now else writer).start()
 

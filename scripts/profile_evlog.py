@@ -26,9 +26,11 @@ os.environ["SPARK_LOCAL_DIRS"] = local_dirs
 
 from amundsendatabuilder_spark.session import get_spark
 
+shuffle_p = int(os.environ.get("SPARK_EXP_SHUFFLE", str(cores)))
 spark = get_spark(
-    f"evprof-{cores}", master=f"local[{cores}]", shuffle_partitions=cores,
-    extra_conf={"spark.eventLog.enabled": "true", "spark.eventLog.dir": EVDIR},
+    f"evprof-{cores}", master=f"local[{cores}]", shuffle_partitions=shuffle_p,
+    extra_conf={"spark.eventLog.enabled": "true", "spark.eventLog.dir": EVDIR,
+                "spark.eventLog.compress": "false"},
 )
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -41,11 +43,13 @@ chunk_paths = write_changelog_chunks(
 )
 wwh = tempfile.mkdtemp(prefix="warm_wh_", dir=WORK)
 warm = write_changelog_chunks(spark, cl_dir + "_w", 100_000, 2, n_entities=10_000)
-CDCPipeline(spark, wwh, n_buckets=128).replay_batches(warm)
+CDCPipeline(spark, wwh, n_buckets=128,
+            table_mode=os.environ.get("SPARK_EXP_MODE", "cow")).replay_batches(warm)
 shutil.rmtree(wwh, ignore_errors=True)
 
 wh = tempfile.mkdtemp(prefix=f"prof_wh_{cores}_", dir=WORK)
-pipe = CDCPipeline(spark, wh, n_buckets=128)
+pipe = CDCPipeline(spark, wh, n_buckets=128,
+                   table_mode=os.environ.get("SPARK_EXP_MODE", "cow"))
 t0 = time.time()
 pipe.replay_batches(chunk_paths)
 wall = time.time() - t0
@@ -54,6 +58,7 @@ spark.stop()
 
 jobs = {}
 task_ms = 0.0
+gc_ms = run_ms = cpu_ms = deser_ms = shw_ms = fetch_ms = 0.0
 stage_tasks = {}
 evfiles = [f for f in glob.glob(f"{EVDIR}/**", recursive=True) if os.path.isfile(f)]
 for f in evfiles:
@@ -74,6 +79,15 @@ for f in evfiles:
             dur = info.get("Finish Time", 0) - info.get("Launch Time", 0)
             if info.get("Finish Time", 0) >= t0_ms:
                 task_ms += dur
+                tm = e.get("Task Metrics") or {}
+                gc_ms += tm.get("JVM GC Time", 0)
+                run_ms += tm.get("Executor Run Time", 0)
+                cpu_ms += tm.get("Executor CPU Time", 0) / 1e6  # ns -> ms
+                deser_ms += tm.get("Executor Deserialize Time", 0)
+                sw = tm.get("Shuffle Write Metrics") or {}
+                shw_ms += sw.get("Shuffle Write Time", 0) / 1e6  # ns -> ms
+                sr = tm.get("Shuffle Read Metrics") or {}
+                fetch_ms += sr.get("Fetch Wait Time", 0)
                 sid = e.get("Stage ID")
                 st = stage_tasks.setdefault(sid, [0, 0])
                 st[0] += 1
@@ -109,6 +123,12 @@ print(json.dumps({
     "uncovered_driver_sec": round(wall - covered / 1000, 2),
     "task_time_sum_sec": round(task_ms / 1000, 2),
     "task_time_over_wall_x_cores": round(task_ms / 1000 / (wall * cores), 3),
+    "gc_sec": round(gc_ms / 1000, 2),
+    "exec_run_sec": round(run_ms / 1000, 2),
+    "exec_cpu_sec": round(cpu_ms / 1000, 2),
+    "deser_sec": round(deser_ms / 1000, 2),
+    "shuffle_write_sec": round(shw_ms / 1000, 2),
+    "fetch_wait_sec": round(fetch_ms / 1000, 2),
 }))
 print("top jobs by span (jid, span_s, task_sum_s, n_tasks):")
 for r in sorted(job_rows, key=lambda r: -r[1])[:15]:

@@ -77,3 +77,62 @@ def test_extraction_stays_in_codegen(spark):
     # '*'-prefixed operators = inside a WholeStageCodegen span; the extraction
     # projections and filter must all be codegen'd
     assert "* Project" in s and "* Filter" in s
+
+
+def test_delete_relation_preprocessor_desired_state(spark, warehouse):
+    """DeleteRelationPreprocessor (neo4j_preprocessor.py:120-200): for every
+    node PAIR the batch re-publishes (configured label tuples, undirected
+    match), pre-delete the pair's other existing relations — stale relation
+    types between re-published pairs disappear; pairs the batch does not
+    touch and unconfigured label pairs are untouched."""
+    from pyspark.sql import functions as F
+
+    from amundsendatabuilder_spark.operators.preprocessors import (
+        desired_state_relation_batch,
+    )
+    from amundsendatabuilder_spark.plans.lake import SnapshotLake
+
+    rel_schema = ("start_key string, end_key string, type string, "
+                  "start_label string, end_label string, reverse_type string")
+    lake = SnapshotLake(spark, warehouse)
+    t = lake.create_table("rels", spark.createDataFrame([], rel_schema).schema,
+                          ["start_key", "end_key", "type"], n_buckets=4)
+    seed = [
+        # stale relation type between a re-published pair -> deleted
+        ("c1", "pii.email", "OLD_TAG", "Column", "Tag", "OLD_TAG_OF"),
+        # reversed orientation of a re-published pair -> deleted (the
+        # reference Cypher matches -[r]- undirected, :138-141)
+        ("pii.new", "c2", "TAG_OF", "Tag", "Column", "TAG"),
+        # pair NOT re-published by the batch -> untouched (:147-152 scope)
+        ("c1", "pii.ssn", "TAG", "Column", "Tag", "TAG_OF"),
+        # label pair not configured -> untouched even though pair matches
+        ("c1", "pii.email", "DESCRIPTION", "Column", "Description",
+         "DESCRIPTION_OF"),
+    ]
+    t.merge_upsert(spark.createDataFrame(seed, rel_schema), 0)
+
+    batch = spark.createDataFrame(
+        [("c1", "pii.email", "TAG", "Column", "Tag", "TAG_OF"),
+         ("c2", "pii.new", "TAG", "Column", "Tag", "TAG_OF")],
+        rel_schema,
+    )
+    merged = desired_state_relation_batch(t.read(), batch, [("Column", "Tag")])
+    m = t.merge_upsert(merged, 1, delete_col="__delete")
+    assert m["rows_deleted"] == 2  # OLD_TAG + the reversed TAG_OF
+
+    got = {(r["start_key"], r["end_key"], r["type"])
+           for r in t.read().collect()}
+    assert got == {
+        ("c1", "pii.email", "TAG"),          # re-published
+        ("c2", "pii.new", "TAG"),            # re-published (pair had reversed row)
+        ("c1", "pii.ssn", "TAG"),            # pair untouched by the batch
+        ("c1", "pii.email", "DESCRIPTION"),  # label pair not configured
+    }
+
+    # where-clause narrowing: nothing deleted when the predicate excludes all
+    batch2 = spark.createDataFrame(
+        [("c1", "pii.email", "TAG", "Column", "Tag", "TAG_OF")], rel_schema)
+    merged2 = desired_state_relation_batch(
+        t.read(), batch2, [("Column", "Tag")], where=F.col("type") == "NOPE")
+    m2 = t.merge_upsert(merged2, 2, delete_col="__delete")
+    assert m2["rows_deleted"] == 0
