@@ -104,7 +104,13 @@ spark = get_spark(f"bench-replay-{cores}", master=f"local[{cores}]",
                   shuffle_partitions=int(FIXED_PARTITIONS),
                   extra_conf={"spark.eventLog.enabled": "true",
                               "spark.eventLog.dir": evdir,
-                              "spark.eventLog.compress": "false"})
+                              "spark.eventLog.compress": "false",
+                              # pin the remaining width-derived partition
+                              # counts so both arms run the SAME task set:
+                              # AQE's post-shuffle coalescing and the scan's
+                              # split count both default to session width
+                              "spark.sql.adaptive.coalescePartitions.enabled": "false",
+                              "spark.sql.files.minPartitionNum": FIXED_PARTITIONS})
 spark.sparkContext.setLogLevel("ERROR")
 from amundsendatabuilder_spark.streaming.pipeline import CDCPipeline
 MODE = os.environ.get("SPARK_GRAFT_BENCH_MODE", "mor")
@@ -237,11 +243,14 @@ def _gather_work(args) -> float:
     rng = np.random.default_rng(seed)
     a = rng.random(n)
     idx = rng.integers(0, n, size=n // 4)
-    a[idx[:1]].sum()  # touch/fault pages
+    out = np.empty(idx.size)     # preallocated: the timed loop must measure
+    np.take(a, idx, out=out)     # gathers, not allocator/page-fault churn
+    float(out.sum())             # warmup pass faults everything
     t0 = time.time()
     acc = 0.0
     for _ in range(iters):
-        acc += float(a[idx].sum())
+        np.take(a, idx, out=out)
+        acc += float(out.sum())
     dt = time.time() - t0
     # each gathered element costs one cache line (64B) of DRAM traffic
     return idx.size * 64 * iters / 1024**3 / dt
