@@ -63,24 +63,30 @@ def _tokenize(p: str) -> list[str]:
     return toks
 
 
-def _expand_paths(json_path: str) -> list[str]:
-    """The reference extractors' jsonpath-rw dialect → flat path list:
-    ``(p)`` grouping parens strip; ``p | q`` unions split like commas; a
-    trailing bracket field list ``prefix[*].[a,b,c]`` (mode/redash/tableau
-    queries, e.g. ``mode_dashboard_utils.py:42``) expands to
-    ``prefix[*].a, prefix[*].b, prefix[*].c`` — jsonpath-rw returns those
-    row-major per match, which is exactly the AND interleave below."""
+def _expand_paths(json_path: str) -> tuple[list[str], bool]:
+    """The reference extractors' jsonpath-rw dialect → (flat path list,
+    top-level separator was ``|``): ``(p)`` grouping parens strip; ``p | q``
+    unions split; a trailing bracket field list ``prefix[*].[a,b,c]``
+    (mode/redash/tableau queries, e.g. ``mode_dashboard_utils.py:42``)
+    expands to ``prefix[*].a, prefix[*].b, prefix[*].c``. The separator
+    determines the match layout jsonpath-rw would produce: comma field
+    lists come back row-major per match (the AND interleave), while ``|``
+    unions come back field-major (all of path 1, then all of path 2 —
+    reference ``rest_api_query.py:216-231``)."""
     # split on , and | at bracket/paren depth 0 only — commas inside a field
     # list [a,b,c] belong to that segment
     pieces: list[str] = []
     buf: list[str] = []
     depth = 0
+    is_or = False
     for ch in json_path:
         if ch in "([":
             depth += 1
         elif ch in ")]":
             depth -= 1
         if ch in ",|" and depth == 0:
+            if ch == "|":
+                is_or = True
             pieces.append("".join(buf))
             buf = []
         else:
@@ -101,22 +107,33 @@ def _expand_paths(json_path: str) -> list[str]:
                 expanded.append(f"{prefix}.{f.strip()}" if prefix else f.strip())
         else:
             expanded.append(p)
-    return expanded
+    return expanded, is_or
 
 
-def json_path_values(payload: Any, json_path: str) -> list[Any]:
-    """All matches, AND-style: comma-joined paths interleave per match group
-    (reference: 'first n records will be first record')."""
-    paths = _expand_paths(json_path)
+def json_path_values(payload: Any, json_path: str,
+                     json_path_contains_or: bool = False) -> list[Any]:
+    """All matches, laid out the way jsonpath-rw would: comma-joined paths
+    (AND) interleave per match group ('first n records will be first
+    record'); ``|`` unions — or an explicit ``json_path_contains_or`` —
+    concatenate field-major (all matches of path 1, then path 2, …), the
+    layout the reference's OR transpose (``rest_api_query.py:216-231``)
+    expects. Ragged per-path match counts raise: any zip of them would
+    scramble fields or silently drop trailing matches."""
+    paths, is_or = _expand_paths(json_path)
+    is_or = is_or or json_path_contains_or
     if len(paths) == 1:
         return _find(payload, _tokenize(paths[0]))
     columns = [_find(payload, _tokenize(p)) for p in paths]
-    n = min(len(c) for c in columns) if columns else 0
-    out: list[Any] = []
-    for i in range(n):
-        for c in columns:
-            out.append(c[i])
-    return out
+    counts = {len(c) for c in columns}
+    if len(counts) > 1:
+        raise ValueError(
+            f"ragged JSON-path match counts {[len(c) for c in columns]} for "
+            f"{json_path!r}: sub-record zip would scramble or drop fields"
+        )
+    if is_or:
+        return [x for c in columns for x in c]
+    n = counts.pop() if counts else 0
+    return [c[i] for i in range(n) for c in columns]
 
 
 def compute_sub_records(result_list: list, field_names: list[str],
@@ -160,6 +177,9 @@ def rest_api_join(
     new_types = {
         f.name: f.dataType for f in out_schema.fields if f.name in field_names
     }
+    # a '|' union in the path implies OR layout even if the caller forgot
+    # the flag — layout and zip must agree or fields scramble
+    effective_or = json_path_contains_or or _expand_paths(json_path)[1]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -172,7 +192,8 @@ def rest_api_join(
                     if can_skip_failure and can_skip_failure(e):
                         continue
                     raise
-                matches = json_path_values(payload, json_path)
+                matches = json_path_values(payload, json_path,
+                                           json_path_contains_or=effective_or)
                 if not matches:
                     if fail_no_result:
                         raise RuntimeError(
@@ -183,7 +204,7 @@ def rest_api_join(
                     rows_out.append({**rec, **{f: None for f in field_names}})
                     continue
                 for sub in compute_sub_records(matches, field_names,
-                                               json_path_contains_or):
+                                               effective_or):
                     if not sub or len(sub) != len(field_names):
                         continue  # reference skips ragged sub-records
                     rows_out.append({**rec, **dict(zip(field_names, sub))})

@@ -53,9 +53,13 @@ def make_fake_mode_api():
             r"https://app\.mode\.com/api/acme/reports/r(\d+)/queries/q(\d+)/charts$", url)
         if m:
             q = m.group(2)
+            # >=2 charts per query so the OR-union zip (token | viz href)
+            # is exercised with n>1 — at n=1 interleave and field-major
+            # transpose coincide and a mispairing is invisible
             return {"_embedded": {"charts": [
-                {"token": f"c{q}", "_links": {"report_viz_web":
-                                              {"href": f"/acme/viz/c{q}"}}}
+                {"token": f"c{q}{c}", "_links": {"report_viz_web":
+                                                 {"href": f"/acme/viz/c{q}{c}"}}}
+                for c in range(2)
             ]}}
         raise ValueError(f"unexpected URL {url}")
 
@@ -88,9 +92,12 @@ def test_mode_chains_to_search_docs(spark):
         f"Query {r}{k}" for r in ("00", "01", "10", "11") for k in range(2)
     }
     crows = ch.collect()
-    assert len(crows) == 8  # one chart per query
-    assert all(r["chart_url"].startswith("https://app.mode.com/acme/viz/")
-               for r in crows)
+    assert len(crows) == 16  # 8 queries x 2 charts
+    # each row's url must correspond to ITS chart id (OR-union pairing)
+    assert all(
+        r["chart_url"] == f"https://app.mode.com/acme/viz/{r['chart_id']}"
+        for r in crows
+    )
 
     nodes = (
         dm.dashboard_metadata_nodes(md)

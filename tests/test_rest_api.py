@@ -43,6 +43,27 @@ def test_sub_record_zip_and_or_semantics():
         compute_sub_records(["x"], [])
 
 
+def test_json_path_or_union_layout():
+    payload = {"charts": [
+        {"token": "c0", "_links": {"viz": {"href": "/viz/c0"}}},
+        {"token": "c1", "_links": {"viz": {"href": "/viz/c1"}}},
+    ]}
+    # '|' union → field-major (all of path 1, then path 2), matching
+    # jsonpath-rw so the OR transpose re-pairs per record
+    path = "(charts[*].token) | (charts[*]._links.viz.href)"
+    vals = json_path_values(payload, path)
+    assert vals == ["c0", "c1", "/viz/c0", "/viz/c1"]
+    assert compute_sub_records(vals, ["id", "url"],
+                               json_path_contains_or=True) == [
+        ["c0", "/viz/c0"], ["c1", "/viz/c1"]]
+
+
+def test_json_path_ragged_counts_raise():
+    payload = {"items": [{"a": 1, "b": 10}, {"a": 2}]}  # second lacks 'b'
+    with pytest.raises(ValueError, match="ragged"):
+        json_path_values(payload, "items[*].a,items[*].b")
+
+
 def test_json_path_and_chained_join(spark):
     _fake_api = _make_fake_api()
     assert json_path_values(_fake_api("https://api/spaces"),
