@@ -23,6 +23,7 @@ JSON-path support is the dotted/bracket subset the reference extractors use:
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable, Iterator
 from typing import Any
 
@@ -210,8 +211,20 @@ def rest_api_join(
                     rows_out.append({**rec, **dict(zip(field_names, sub))})
             out = pd.DataFrame(rows_out, columns=prev_cols + field_names)
             for f, dt in new_types.items():
-                if isinstance(dt, T.LongType) and f in out.columns:
+                if f not in out.columns:
+                    continue
+                if isinstance(dt, T.LongType):
                     out[f] = out[f].astype("Int64")
+                elif isinstance(dt, T.StringType):
+                    # JSON payloads carry ints/bools/objects; a string-typed
+                    # field JSON-encodes structure and str()s scalars (the
+                    # reference does str(record[...]) at use sites) so nested
+                    # hops can re-parse with from_json
+                    out[f] = out[f].map(
+                        lambda v: v if v is None or isinstance(v, str)
+                        else json.dumps(v) if isinstance(v, (dict, list))
+                        else str(v)
+                    )
             yield out
 
     return prev.mapInPandas(run, schema=out_schema)
