@@ -162,6 +162,86 @@ def cassandra_metadata_scan(
     return _contract_rows(spark, out)
 
 
+# ---- Feast feature tables (feast_extractor.py:16-139) ----------------------
+
+def feast_metadata_scan(
+    spark: SparkSession,
+    list_projects: Callable[[], list[str]],
+    list_feature_tables: Callable[[str], list[dict]],
+    get_entity: Callable[[str, str], dict],
+    instance_name: str = "main",
+) -> DataFrame:
+    """Feast Core registry → per-column contract rows: database='feast',
+    cluster=instance name, schema=project, table=feature table; columns are
+    the entity keys (with description/value_type from ``get_entity``)
+    followed by the features, sort order continuing across the two groups
+    (reference ``feast_extractor.py:71-100``). Feature-table dicts carry
+    ``name``, ``entities`` (names), ``features`` (``{name, dtype}``)."""
+    out = []
+    for project in list_projects():
+        for ft in list_feature_tables(project):
+            n_entities = len(ft.get("entities", []))
+            for i, entity_name in enumerate(ft.get("entities", [])):
+                ent = get_entity(entity_name, project)
+                out.append((
+                    "feast", instance_name, project, ft["name"], None,
+                    ent["name"], ent.get("description"), ent.get("value_type"),
+                    i, False, False, None,
+                ))
+            for i, feat in enumerate(ft.get("features", [])):
+                out.append((
+                    "feast", instance_name, project, ft["name"], None,
+                    feat["name"], None, feat.get("dtype"),
+                    n_entities + i, False, False, None,
+                ))
+    return _contract_rows(spark, out)
+
+
+def feast_table_descriptions(
+    spark: SparkSession,
+    list_projects: Callable[[], list[str]],
+    list_feature_tables: Callable[[str], list[dict]],
+    instance_name: str = "main",
+) -> DataFrame:
+    """The reference's describe_feature_tables=True side channel
+    (``feast_extractor.py:102-139``): one programmatic description per
+    feature table (created-at + labels markdown, source
+    ``feature_table_details``), plus yaml-fenced ``batch_source`` and,
+    when present, ``stream_source`` specs. Feature-table dicts add
+    ``created_timestamp_seconds``, ``labels``, ``batch_source``,
+    ``stream_source``."""
+    from datetime import datetime, timezone
+
+    import yaml
+
+    rows = []
+    for project in list_projects():
+        for ft in list_feature_tables(project):
+            created_at = datetime.fromtimestamp(
+                ft["created_timestamp_seconds"], tz=timezone.utc
+            ).replace(tzinfo=None)
+            desc = f"* Created at **{created_at}**\n"
+            if ft.get("labels"):
+                desc += "* Labels:\n"
+                for k, v in ft["labels"].items():
+                    desc += f"    * {k}: **{v}**\n"
+            rows.append(("feast", instance_name, project, ft["name"],
+                         desc, "feature_table_details"))
+            rows.append((
+                "feast", instance_name, project, ft["name"],
+                f"```\n{yaml.dump(ft['batch_source'])}```", "batch_source"))
+            if ft.get("stream_source"):
+                rows.append((
+                    "feast", instance_name, project, ft["name"],
+                    f"```\n{yaml.dump(ft['stream_source'])}```",
+                    "stream_source"))
+    return spark.createDataFrame(
+        rows,
+        "database string, cluster string, schema string, name string, "
+        "description string, description_source string",
+    )
+
+
 # ---- BambooHR users (user/bamboohr/bamboohr_user_extractor.py:38-61) -------
 
 def bamboohr_user_scan(spark: SparkSession, fetch_directory: Callable[[], bytes]) -> DataFrame:

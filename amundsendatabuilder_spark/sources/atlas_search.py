@@ -1,0 +1,198 @@
+"""Atlas search-data extractor — the declarative field-mapping spec and the
+paged guid→bulk-detail fan-out of the reference's AtlasSearchDataExtractor,
+re-expressed Spark-first.
+
+Reference: ``databuilder/extractor/atlas_search_data_extractor.py`` —
+mapping spec (es_field, dotted atlas path, transform, default) :81-103;
+guid paging over the DSL search (chunk 250, thread pool 10) :209-233,
+:258-289; bulk detail with required relationships :235-250; the per-record
+reduce over the dotted path with ``or default`` then transform :291-309.
+Helper transforms (active-column names/descriptions, active
+classifications) :30-48.
+
+Spark-first shape: the paged search + bulk-detail walk is driver-side
+thread-pooled metadata traffic (the reference uses a process pool of 10
+the same way); every MAPPING is compiled to a columnar expression — the
+entity JSON lands as one string column, ``from_json`` parses it against a
+typed entity schema, dotted paths become nested field access, the
+reference's per-field lambdas become whitelisted Column transforms, and
+``or default`` becomes a truthiness-aware coalesce. No per-row Python.
+
+The client is injected as three callables (the atlasclient surface has no
+sandbox backend): ``approximate_count()``, ``search_guids(offset, limit)
+-> [guid]``, ``entity_bulk(guids) -> [entity dict]``.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEARCH_CHUNK_SIZE = 250   # reference :71
+DETAILS_CHUNK_SIZE = 25   # reference :72
+POOL_SIZE = 10            # reference :75
+
+# typed shape of the Atlas 'Table' entity payload, covering every path the
+# mapping spec touches (reference :81-103)
+TABLE_ENTITY_SCHEMA = (
+    "struct<"
+    "typeName:string,"
+    "updateTime:long,"
+    "tags:array<string>,"
+    "classifications:array<struct<typeName:string,entityStatus:string>>,"
+    "attributes:struct<qualifiedName:string,name:string,description:string,"
+    "popularityScore:double,uniqueUsage:long,"
+    "parameters:map<string,string>>,"
+    "relationshipAttributes:struct<db:struct<displayText:string>,"
+    "columns:array<struct<status:string,"
+    "attributes:struct<name:string,description:string>>>>"
+    ">"
+)
+
+# the per-field lambdas of the reference spec as named columnar transforms
+# (whitelist — a mapping spec is data, not code)
+_TRANSFORMS: dict[str, Callable[[Column], Column]] = {
+    # qualifiedName 'db.table@cluster' splits (:84,:99)
+    "cluster_from_qualified_name": lambda c: F.element_at(F.split(c, "@"), -1),
+    "display_from_qualified_name": lambda c: F.split(c, "@")[0],
+    # int(x) / 1000 (:89) — emitted as long seconds (the reference's float
+    # division lands in an int-typed ES field anyway)
+    "ms_to_seconds": lambda c: (c.cast("long") / 1000).cast("long"),
+    "to_long": lambda c: c.cast("long"),
+    # get_column_names / get_column_descriptions (:36-43): ACTIVE columns
+    # only, None values dropped
+    "active_column_names": lambda c: F.filter(
+        F.transform(
+            F.filter(c, lambda x: F.lower(x["status"]) == "active"),
+            lambda x: x["attributes"]["name"]),
+        lambda v: v.isNotNull()),
+    "active_column_descriptions": lambda c: F.filter(
+        F.transform(
+            F.filter(c, lambda x: F.lower(x["status"]) == "active"),
+            lambda x: x["attributes"]["description"]),
+        lambda v: v.isNotNull()),
+    # get_badges_from_classifications (:46-48)
+    "active_classifications": lambda c: F.filter(
+        F.transform(
+            F.filter(c, lambda x: F.lower(F.coalesce(
+                x["entityStatus"], F.lit(""))) == "active"),
+            lambda x: x["typeName"]),
+        lambda v: v.isNotNull()),
+    # parameters dict -> [str(v) for v in values()] (:101)
+    "parameter_values": lambda c: F.transform(
+        F.map_values(c), lambda v: v.cast("string")),
+}
+
+# (es_field, atlas path, transform name, default) — the reference's
+# FIELDS_MAPPING_SPEC['Table'] (:82-102) verbatim, lambdas by whitelist name
+TABLE_FIELDS_MAPPING_SPEC: list[tuple[str, str, str | None, object]] = [
+    ("database", "typeName", None, None),
+    ("cluster", "attributes.qualifiedName", "cluster_from_qualified_name", None),
+    ("schema", "relationshipAttributes.db.displayText", None, None),
+    ("name", "attributes.name", None, None),
+    ("key", "attributes.qualifiedName", None, None),
+    ("description", "attributes.description", None, None),
+    ("last_updated_timestamp", "updateTime", "ms_to_seconds", 0),
+    ("total_usage", "attributes.popularityScore", "to_long", 0),
+    ("unique_usage", "attributes.uniqueUsage", "to_long", 1),
+    ("column_names", "relationshipAttributes.columns", "active_column_names", []),
+    ("column_descriptions", "relationshipAttributes.columns",
+     "active_column_descriptions", []),
+    ("tags", "tags", None, []),
+    ("badges", "classifications", "active_classifications", []),
+    ("display_name", "attributes.qualifiedName",
+     "display_from_qualified_name", None),
+    ("schema_description", "attributes.parameters.sourceDescription", None, None),
+    ("programmatic_descriptions", "attributes.parameters", "parameter_values", {}),
+]
+
+
+def _path_col(entity: Column, path: str) -> Column:
+    """Dotted atlas path → nested field/map access (the columnar form of
+    the reference's ``reduce(lambda x, y: x.get(y, {}), path.split('.')``)."""
+    return reduce(lambda c, p: c.getItem(p), path.split("."), entity)
+
+
+def _or_default(raw: Column, default: object) -> Column:
+    """The reference's ``atlas_value or default`` (:302) for scalars:
+    Python truthiness — null and 0 fall to the default."""
+    if default is None:
+        return raw
+    if isinstance(default, (int, float)):
+        return F.when(raw.isNull() | (raw == 0), F.lit(default)).otherwise(raw)
+    return F.coalesce(raw, F.lit(default))
+
+
+def mapping_spec_select(
+    spec: list[tuple[str, str, str | None, object]],
+    entity: Column,
+) -> list[Column]:
+    """Compile a declarative field-mapping spec into select expressions.
+    Unknown transform names raise (the whitelist is the security boundary —
+    a spec is configuration, not arbitrary code). Container defaults
+    (``[]`` / ``{}``) are applied AFTER the transform as a typed empty
+    array — equivalent to the reference's pre-transform ``or default``
+    because every container transform maps empty→empty and the spec's
+    container defaults are all empty."""
+    out = []
+    for es_field, path, transform, default in spec:
+        col = _path_col(entity, path)
+        if isinstance(default, (list, dict)):
+            if transform is not None:
+                if transform not in _TRANSFORMS:
+                    raise ValueError(f"unknown mapping transform: {transform!r}")
+                col = _TRANSFORMS[transform](col)
+            col = F.coalesce(col, F.array())
+        else:
+            col = _or_default(col, default)
+            if transform is not None:
+                if transform not in _TRANSFORMS:
+                    raise ValueError(f"unknown mapping transform: {transform!r}")
+                col = _TRANSFORMS[transform](col)
+        out.append(col.alias(es_field))
+    return out
+
+
+def atlas_search_scan(
+    spark: SparkSession,
+    approximate_count: Callable[[], int],
+    search_guids: Callable[[int, int], list[str]],
+    entity_bulk: Callable[[list[str]], list[dict]],
+    spec: list[tuple[str, str, str | None, object]] | None = None,
+    entity_schema: str = TABLE_ENTITY_SCHEMA,
+    search_chunk_size: int = SEARCH_CHUNK_SIZE,
+    details_chunk_size: int = DETAILS_CHUNK_SIZE,
+    pool_size: int = POOL_SIZE,
+) -> DataFrame:
+    """Full scan → one row per entity in the mapped (TableESDocument) shape.
+    Offsets fan out over a thread pool exactly like the reference
+    (:268-277); failed chunks return empty like the reference's
+    swallow-and-continue (:230-233 logs and drops the batch — here the
+    injected callables decide; no silent drop is added on top)."""
+    spec = spec if spec is not None else TABLE_FIELDS_MAPPING_SPEC
+    count = approximate_count()
+    offsets = [i * search_chunk_size
+               for i in range(count // search_chunk_size + 1)] if count else []
+    guids: list[str] = []
+    if offsets:
+        with ThreadPoolExecutor(max_workers=pool_size) as pool:
+            for sub in pool.map(
+                    lambda off: search_guids(off, search_chunk_size), offsets):
+                guids.extend(sub)
+    entities: list[dict] = []
+    if guids:
+        chunks = [guids[i:i + details_chunk_size]
+                  for i in range(0, len(guids), details_chunk_size)]
+        with ThreadPoolExecutor(max_workers=pool_size) as pool:
+            for sub in pool.map(entity_bulk, chunks):
+                entities.extend(sub)
+
+    payloads = [(json.dumps(e),) for e in entities]
+    df = spark.createDataFrame(payloads, "j string")
+    e = F.from_json("j", entity_schema).alias("e")
+    return df.select(e).select(*mapping_spec_select(spec, F.col("e")))

@@ -133,3 +133,138 @@ def test_bamboohr_user_scan(spark):
     keys = {r["key"] for r in user_nodes(
         bamboohr_user_scan(spark, lambda: xml)).collect()}
     assert keys == {"a@x.com", "b@x.com"}
+
+
+def test_feast_scan_and_descriptions(spark):
+    from amundsendatabuilder_spark.sources.api_scans import (
+        feast_metadata_scan,
+        feast_table_descriptions,
+    )
+
+    fts = {
+        "driver_project": [{
+            "name": "driver_stats",
+            "entities": ["driver_id"],
+            "features": [{"name": "trips_today", "dtype": "INT64"},
+                         {"name": "rating", "dtype": "FLOAT"}],
+            "created_timestamp_seconds": 1704153600,  # 2024-01-02 00:00:00
+            "labels": {"team": "mobility"},
+            "batch_source": {"type": "BATCH_FILE", "uri": "/data/x"},
+            "stream_source": {"type": "STREAM_KAFKA", "topic": "t"},
+        }],
+    }
+    entities = {"driver_id": {"name": "driver_id",
+                              "description": "driver key",
+                              "value_type": "INT64"}}
+
+    scan = feast_metadata_scan(
+        spark, lambda: list(fts), lambda p: fts[p],
+        lambda n, p: entities[n], instance_name="main")
+    rows = {r["col_name"]: r for r in scan.collect()}
+    # entity columns first, features continue the sort order (ref :71-91)
+    assert rows["driver_id"]["col_sort_order"] == 0
+    assert rows["driver_id"]["col_description"] == "driver key"
+    assert rows["trips_today"]["col_sort_order"] == 1
+    assert rows["rating"]["col_type"] == "FLOAT"
+    assert rows["rating"]["database"] == "feast"
+    assert rows["rating"]["cluster"] == "main"
+    assert rows["rating"]["schema"] == "driver_project"
+    assert rows["rating"]["name"] == "driver_stats"
+
+    descs = {r["description_source"]: r["description"]
+             for r in feast_table_descriptions(
+                 spark, lambda: list(fts), lambda p: fts[p]).collect()}
+    assert descs["feature_table_details"] == (
+        "* Created at **2024-01-02 00:00:00**\n"
+        "* Labels:\n    * team: **mobility**\n")
+    assert descs["batch_source"].startswith("```\n")
+    assert "BATCH_FILE" in descs["batch_source"]
+    assert "STREAM_KAFKA" in descs["stream_source"]
+
+
+def test_atlas_search_scan_mapping_spec(spark):
+    from amundsendatabuilder_spark.sources.atlas_search import (
+        atlas_search_scan,
+    )
+
+    def entity(i):
+        return {
+            "typeName": "hive_table",
+            "updateTime": 1704153600000 + i,
+            "tags": ["pii"] if i == 0 else [],
+            "classifications": [
+                {"typeName": "gold", "entityStatus": "ACTIVE"},
+                {"typeName": "old", "entityStatus": "DELETED"},
+            ],
+            "attributes": {
+                "qualifiedName": f"db.tbl{i}@cl1",
+                "name": f"tbl{i}",
+                "description": f"table {i}",
+                "popularityScore": 0 if i == 0 else 7.0,
+                "uniqueUsage": 0,
+                "parameters": {"sourceDescription": "src desc",
+                               "other": "42"},
+            },
+            "relationshipAttributes": {
+                "db": {"displayText": "db"},
+                "columns": [
+                    {"status": "ACTIVE",
+                     "attributes": {"name": "c1", "description": "first"}},
+                    {"status": "DELETED",
+                     "attributes": {"name": "zz", "description": "gone"}},
+                    {"status": "ACTIVE",
+                     "attributes": {"name": "c2", "description": None}},
+                ],
+            },
+        }
+
+    # 60 entities across 3 search pages of 25 -> bulk chunks of 10
+    all_entities = {f"g{i}": entity(i) for i in range(60)}
+    calls = {"search": [], "bulk": []}
+
+    def search_guids(offset, limit):
+        calls["search"].append((offset, limit))
+        return [f"g{i}" for i in range(offset, min(offset + limit, 60))]
+
+    def entity_bulk(guids):
+        calls["bulk"].append(len(guids))
+        return [all_entities[g] for g in guids]
+
+    df = atlas_search_scan(
+        spark, lambda: 60, search_guids, entity_bulk,
+        search_chunk_size=25, details_chunk_size=10)
+    rows = {r["name"]: r for r in df.collect()}
+    assert len(rows) == 60
+    assert calls["search"] == [(0, 25), (25, 25), (50, 25)]
+    assert all(n == 10 for n in calls["bulk"])
+
+    r = rows["tbl1"]
+    assert r["database"] == "hive_table"
+    assert r["cluster"] == "cl1"                 # qualifiedName @-suffix
+    assert r["display_name"] == "db.tbl1"        # qualifiedName @-prefix
+    assert r["schema"] == "db"
+    assert r["key"] == "db.tbl1@cl1"
+    assert r["last_updated_timestamp"] == 1704153600
+    assert r["total_usage"] == 7
+    assert r["unique_usage"] == 1                # 0 is falsy -> default 1
+    assert rows["tbl0"]["total_usage"] == 0      # falsy -> default 0
+    # ACTIVE columns only; None descriptions dropped (helper :36-43)
+    assert r["column_names"] == ["c1", "c2"]
+    assert r["column_descriptions"] == ["first"]
+    assert r["badges"] == ["gold"]               # ACTIVE classifications
+    assert rows["tbl0"]["tags"] == ["pii"]
+    assert r["tags"] == []                       # empty -> default []
+    assert r["schema_description"] == "src desc"
+    assert sorted(r["programmatic_descriptions"]) == ["42", "src desc"]
+
+
+def test_atlas_mapping_spec_whitelist(spark):
+    import pytest as _pytest
+
+    from amundsendatabuilder_spark.sources.atlas_search import (
+        mapping_spec_select,
+    )
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(ValueError, match="unknown mapping transform"):
+        mapping_spec_select([("f", "a.b", "exec_evil", None)], F.col("e"))
