@@ -134,6 +134,82 @@ def bigquery_metadata_scan(
     return _contract_rows(spark, out)
 
 
+# ---- BigQuery watermarks (bigquery_watermark_extractor.py:22-149) ----------
+
+def bigquery_watermark_scan(
+    spark: SparkSession,
+    list_dataset_pages: Callable[[], Iterator[dict]],
+    list_table_pages: Callable[[dict], Iterator[dict]],
+    get_partitions: Callable[[dict], list[tuple[str, float]]],
+    cluster: str | None = None,
+) -> DataFrame:
+    """→ the ``watermark_nodes`` input contract (create_time, database,
+    schema, table_name, part_name, part_type, cluster).
+
+    Sharded date-range tables (``name_YYYYMMDD``) collapse per prefix with
+    low/high = min/max date suffix and ``part_name='__table__=<suffix>'``
+    (reference :44-87; create_time comes from the lowest shard's
+    creationTime — the reference keeps whichever shard the API listed
+    first, which is the lexicographic minimum on BigQuery). Time-partitioned
+    tables get low/high from the injected partition summary
+    (``get_partitions(tableRef) -> [(partition_id, epoch_created)]``, the
+    reference's legacy-SQL ``$__PARTITIONS_SUMMARY__`` query :89-115) with
+    ``part_name='<field>=<partition_id>'``, field defaulting to
+    ``_PARTITIONTIME`` (:122-125). Timestamps format as UTC
+    ``%Y-%m-%d %H:%M:%S`` (the reference uses the host zone)."""
+    from datetime import datetime, timezone
+
+    def fmt(epoch_sec: float) -> str:
+        return datetime.fromtimestamp(
+            float(epoch_sec), tz=timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+
+    rows = []
+    for dpage in list_dataset_pages():
+        for ds in dpage.get("datasets", []):
+            shards: dict[tuple[str, str, str], dict] = {}
+            for tpage in list_table_pages(ds["datasetReference"]):
+                for t in tpage.get("tables", []):
+                    ref = t["tableReference"]
+                    table_id = ref["tableId"]
+                    proj = cluster or ref["projectId"]
+                    if _SHARD_RE.search(table_id):
+                        suffix, prefix = table_id[-8:], table_id[:-8]
+                        g = shards.setdefault(
+                            (ref["datasetId"], prefix, proj),
+                            {"low": suffix, "high": suffix, "table": t})
+                        if suffix < g["low"]:
+                            g["low"], g["table"] = suffix, t
+                        g["high"] = max(g["high"], suffix)
+                    elif "timePartitioning" in t:
+                        parts = get_partitions(ref)
+                        if not parts:
+                            continue
+                        field = t["timePartitioning"].get(
+                            "field", "_PARTITIONTIME")
+                        low = min(parts, key=lambda p: p[0])
+                        high = max(parts, key=lambda p: p[0])
+                        for (pid, created), part_type in (
+                                (low, "low_watermark"), (high, "high_watermark")):
+                            rows.append((
+                                fmt(created), "bigquery", ref["datasetId"],
+                                table_id, f"{field}={pid}", part_type, proj,
+                            ))
+            for (dataset_id, prefix, proj), g in shards.items():
+                created = fmt(float(g["table"]["creationTime"]) / 1000)
+                for suffix, part_type in ((g["low"], "low_watermark"),
+                                          (g["high"], "high_watermark")):
+                    rows.append((
+                        created, "bigquery", dataset_id, prefix,
+                        f"__table__={suffix}", part_type, proj,
+                    ))
+    return spark.createDataFrame(
+        rows,
+        "create_time string, database string, schema string, "
+        "table_name string, part_name string, part_type string, "
+        "cluster string",
+    )
+
+
 # ---- Cassandra (cassandra_extractor.py:63-103) -----------------------------
 
 def cassandra_metadata_scan(

@@ -382,3 +382,66 @@ def explode_table_columns(tables: DataFrame) -> DataFrame:
         F.col("c.col_type").alias("col_type"),
         F.col("c.sort_order").alias("sort_order"),
     )
+
+
+# ---- Presto views (presto_view_metadata_extractor.py:21-117) ----------------
+
+PRESTO_VIEW_SQL = """
+    SELECT d.NAME as `schema`, t.TBL_NAME name, t.VIEW_ORIGINAL_TEXT as view_original_text
+    FROM TBLS t
+    JOIN DBS d ON t.DB_ID = d.DB_ID
+    WHERE t.VIEW_EXPANDED_TEXT = '/* Presto View */'
+    {where_clause_suffix}
+"""
+
+
+def presto_view_scan(
+    spark: SparkSession,
+    url: str | None = None,
+    rows: DataFrame | None = None,
+    where_clause_suffix: str = " ",
+    cluster: str = "gold",
+    **jdbc_opts,
+) -> DataFrame:
+    """Presto view metadata out of the Hive metastore → standard per-column
+    contract rows (database='presto', is_view=True).
+
+    The metastore query is the reference's
+    (``presto_view_metadata_extractor.py:28-35``; pass ``url`` for a JDBC
+    read, or ``rows`` with (schema, name, view_original_text) pre-read).
+    The per-view decode chain — strip the ``/* Presto View: ... */`` fence,
+    base64-decode, parse ``{"columns":[{name,type}...]}``, fan out with the
+    create-view order as sort order (:93-116) — runs COLUMNAR:
+    substring_index / unbase64 / from_json / posexplode, so a metastore
+    with a million views decodes across executors instead of one
+    driver-side loop."""
+    if rows is None:
+        if url is None:
+            raise ValueError("presto_view_scan needs a JDBC url or rows")
+        sql = PRESTO_VIEW_SQL.format(where_clause_suffix=where_clause_suffix)
+        rows = jdbc_query(spark, url, sql.strip(), **jdbc_opts)
+
+    # text.split(PREFIX, 1)[-1].rsplit(SUFFIX, 1)[0] — the b64 payload can
+    # contain neither delimiter, so first/last-occurrence splits agree
+    encoded = F.substring_index(
+        F.substring_index("view_original_text", "/* Presto View: ", -1),
+        " */", 1)
+    cols = F.from_json(
+        F.get_json_object(F.unbase64(encoded).cast("string"), "$.columns"),
+        "array<struct<name:string,type:string>>",
+    )
+    return (
+        rows.select("schema", "name", F.posexplode(cols).alias("pos", "c"))
+        .select(
+            F.lit("presto").alias("database"),
+            F.lit(cluster).alias("cluster"),
+            F.col("schema"),
+            F.col("name"),
+            F.lit(None).cast("string").alias("description"),
+            F.col("c.name").alias("col_name"),
+            F.lit(None).cast("string").alias("col_description"),
+            F.col("c.type").alias("col_type"),
+            F.col("pos").alias("col_sort_order"),
+            F.lit(True).alias("is_view"),
+        )
+    )

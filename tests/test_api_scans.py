@@ -268,3 +268,63 @@ def test_atlas_mapping_spec_whitelist(spark):
 
     with _pytest.raises(ValueError, match="unknown mapping transform"):
         mapping_spec_select([("f", "a.b", "exec_evil", None)], F.col("e"))
+
+
+def test_bigquery_watermark_scan(spark):
+    from amundsendatabuilder_spark.operators.amundsen_models import (
+        watermark_nodes,
+    )
+    from amundsendatabuilder_spark.sources.api_scans import (
+        bigquery_watermark_scan,
+    )
+
+    ds_ref = {"projectId": "proj", "datasetId": "web"}
+
+    def tbl(table_id, **extra):
+        return {"tableReference": {"projectId": "proj", "datasetId": "web",
+                                   "tableId": table_id}, **extra}
+
+    tables = [
+        # sharded date-range family (watermarks = min/max suffix)
+        tbl("ga_sessions_20190102", creationTime="1546387200000"),
+        tbl("ga_sessions_20190101", creationTime="1546300800000"),
+        tbl("ga_sessions_20190105", creationTime="1546646400000"),
+        # time-partitioned table with explicit field
+        tbl("events", timePartitioning={"field": "event_date"}),
+        # time-partitioned, default pseudo-column
+        tbl("logs", timePartitioning={}),
+        # neither sharded nor partitioned -> no watermark
+        tbl("lookup"),
+    ]
+    partitions = {
+        "events": [("20240110", 1704844800.0), ("20240120", 1705708800.0)],
+        "logs": [("20240201", 1706745600.0)],
+        "lookup": [],
+    }
+
+    wm = bigquery_watermark_scan(
+        spark, lambda: iter([{"datasets": [{"datasetReference": ds_ref}]}]),
+        lambda ref: iter([{"tables": tables}]),
+        lambda ref: partitions[ref["tableId"]])
+    rows = {(r["table_name"], r["part_type"]): r for r in wm.collect()}
+
+    lo = rows[("ga_sessions_", "low_watermark")]
+    hi = rows[("ga_sessions_", "high_watermark")]
+    assert lo["part_name"] == "__table__=20190101"
+    assert hi["part_name"] == "__table__=20190105"
+    # create_time from the lowest shard's creationTime (2019-01-01, UTC)
+    assert lo["create_time"] == "2019-01-01 00:00:00"
+    assert lo["database"] == "bigquery" and lo["schema"] == "web"
+    assert lo["cluster"] == "proj"
+
+    assert rows[("events", "low_watermark")]["part_name"] == "event_date=20240110"
+    assert rows[("events", "high_watermark")]["part_name"] == "event_date=20240120"
+    assert rows[("events", "low_watermark")]["create_time"] == "2024-01-10 00:00:00"
+    # default partition pseudo-column; single partition = both watermarks
+    assert rows[("logs", "low_watermark")]["part_name"] == "_PARTITIONTIME=20240201"
+    assert rows[("logs", "high_watermark")]["part_name"] == "_PARTITIONTIME=20240201"
+    assert ("lookup", "low_watermark") not in rows
+
+    # lands in the Watermark node contract
+    keys = {r["key"] for r in watermark_nodes(wm).collect()}
+    assert "bigquery://proj.web/ga_sessions_/low_watermark/" in keys

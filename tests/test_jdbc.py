@@ -203,3 +203,40 @@ def test_last_updated_registry_and_fs_probe(spark, tmp_path):
     merged = {(r["schema"], r["table_name"]): r["last_updated_time"]
               for r in merge_last_updated(part, fs).collect()}
     assert merged == {("core", "t1"): int(new), ("ops", "p1"): 1700000000}
+
+
+def test_presto_view_scan_decode(spark):
+    import base64
+    import json as _json
+
+    from amundsendatabuilder_spark.sources.jdbc import (
+        presto_view_scan,
+        regroup_to_table_metadata,
+    )
+
+    def fence(columns):
+        payload = base64.b64encode(
+            _json.dumps({"columns": columns}).encode()).decode()
+        return f"/* Presto View: {payload} */"
+
+    rows = spark.createDataFrame(
+        [("analytics", "v_daily", fence(
+            [{"name": "day", "type": "date"},
+             {"name": "clicks", "type": "bigint"}])),
+         ("analytics", "v_empty", fence([]))],
+        "schema string, name string, view_original_text string")
+
+    out = presto_view_scan(spark, rows=rows, cluster="gold")
+    got = {(r["name"], r["col_name"]): r for r in out.collect()}
+    assert set(got) == {("v_daily", "day"), ("v_daily", "clicks")}
+    r = got[("v_daily", "clicks")]
+    assert r["database"] == "presto" and r["cluster"] == "gold"
+    assert r["schema"] == "analytics"
+    assert r["col_type"] == "bigint"
+    assert r["col_sort_order"] == 1  # create-view order
+    assert r["is_view"] is True
+
+    # lands straight in the regroup -> TableMetadata contract
+    t = regroup_to_table_metadata(out).collect()[0]
+    assert t["is_view"] is True
+    assert [c["name"] for c in t["columns"]] == ["day", "clicks"]
