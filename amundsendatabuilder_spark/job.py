@@ -35,6 +35,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="generate N synthetic changelog events into --source")
     p.add_argument("--chunks", type=int, default=8)
     p.add_argument("--vacuum-tombstones-ms", type=int, default=0)
+    p.add_argument("--catalog-scan", action="store_true",
+                   help="scan the session catalog (DESCRIBE walk + fs probe)"
+                        " into the graph tables as one catalog epoch")
+    p.add_argument("--catalog-epoch", type=int, default=0)
+    p.add_argument("--catalog-schemas", default="",
+                   help="comma-separated schema allowlist for --catalog-scan")
+    p.add_argument("--catalog-database", default="delta")
+    p.add_argument("--no-fs-probe", action="store_true",
+                   help="skip the filesystem mtime probe for tables whose"
+                        " catalog detail carries no lastModified")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -53,6 +63,39 @@ def main(argv: list[str] | None = None) -> int:
     pipe = CDCPipeline(
         spark, args.warehouse, n_buckets=args.buckets, cluster=args.cluster
     )
+    if args.catalog_scan:
+        # catalog → nodes → merge → staleness candidates: the reference's
+        # metadata DefaultJob + Neo4jStalenessRemovalTask, one CLI call
+        from pyspark.sql import functions as F
+
+        from amundsendatabuilder_spark.sources.fs_probe import (
+            table_last_updated_fs,
+        )
+        from amundsendatabuilder_spark.sources.spark_catalog import (
+            catalog_locations,
+            catalog_scrape,
+            scan_rows_from_scrape,
+        )
+
+        schemas = [s for s in args.catalog_schemas.split(",") if s] or None
+        scraped = catalog_scrape(spark, schema_list=schemas)
+        scan = scan_rows_from_scrape(
+            spark, scraped, database=args.catalog_database,
+            cluster=args.cluster)
+        fs_lu = None
+        if not args.no_fs_probe:
+            fs_lu = table_last_updated_fs(catalog_locations(spark, scraped))
+        metrics = pipe.apply_catalog(scan, args.catalog_epoch,
+                                     fs_last_updated=fs_lu)
+        tag = metrics.get("publish_tag", f"catalog_epoch_{args.catalog_epoch}")
+        stale = (
+            pipe.graph_nodes.read()
+            .where(F.col("publish_tag") != F.lit(tag))
+            .groupBy("label").count().collect()
+        )
+        metrics["stale_candidates"] = {r["label"]: r["count"] for r in stale}
+        print(json.dumps(metrics, default=str))
+        return 0
     if args.stream:
         if not args.checkpoint:
             p.error("--stream requires --checkpoint")

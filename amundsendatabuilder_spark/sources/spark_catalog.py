@@ -112,7 +112,56 @@ def _scrape_table(spark: SparkSession, schema: str, table: str,
         except Exception:
             pass
     return {"schema": schema, "table": table, "is_view": is_view,
-            "columns": cols, **detail}
+            "columns": cols, "location": ext_detail.get("Location"), **detail}
+
+
+def catalog_scrape(
+    spark: SparkSession,
+    schema_list: list[str] | None = None,
+    exclude_list: list[str] | None = None,
+    max_workers: int = 16,
+) -> list[dict]:
+    """One thread-pooled DESCRIBE walk over the session catalog → the raw
+    per-table dicts (columns, detail, location). Shared by the metadata
+    scan and the fs-probe location feed so the CLI composition walks
+    the catalog once."""
+    schemas = [d.name for d in spark.catalog.listDatabases()]
+    if schema_list:
+        schemas = [s for s in schemas if s in set(schema_list)]
+    if exclude_list:
+        schemas = [s for s in schemas if s not in set(exclude_list)]
+
+    targets = []
+    for s in sorted(schemas):
+        for t in spark.catalog.listTables(s):
+            if t.isTemporary:
+                continue
+            targets.append((s, t.name, (t.tableType or "").lower() == "view"))
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        scraped = list(ex.map(lambda a: _scrape_table(spark, *a), targets))
+    return [m for m in scraped if m is not None]
+
+
+def scan_rows_from_scrape(
+    spark: SparkSession,
+    scraped: list[dict],
+    database: str = "delta",
+    cluster: str = "gold",
+    delta_tables_only: bool = False,
+) -> DataFrame:
+    """Scraped dicts → standard per-column contract rows."""
+    out_rows = []
+    for m in scraped:
+        if delta_tables_only and (m.get("format") or "") != "delta" and not m["is_view"]:
+            continue
+        for c in m["columns"]:
+            out_rows.append((
+                database, cluster, m["schema"], m["table"], m.get("description"),
+                c["name"], c["description"], c["col_type"], c["sort_order"],
+                m["is_view"], c["is_partition"], m.get("last_updated_epoch"),
+            ))
+    return spark.createDataFrame(out_rows, SCAN_SCHEMA)
 
 
 def catalog_metadata_scan(
@@ -129,35 +178,26 @@ def catalog_metadata_scan(
     ``exclude_list`` / ``delta_tables_only`` mirror the reference config keys
     (:124-137; the reference defaults delta-only ON, which requires the delta
     jar — default OFF here so the scan is useful on any catalog)."""
-    schemas = [d.name for d in spark.catalog.listDatabases()]
-    if schema_list:
-        schemas = [s for s in schemas if s in set(schema_list)]
-    if exclude_list:
-        schemas = [s for s in schemas if s not in set(exclude_list)]
+    scraped = catalog_scrape(spark, schema_list, exclude_list, max_workers)
+    return scan_rows_from_scrape(spark, scraped, database, cluster,
+                                 delta_tables_only)
 
-    targets = []
-    for s in sorted(schemas):
-        for t in spark.catalog.listTables(s):
-            if t.isTemporary:
-                continue
-            targets.append((s, t.name, (t.tableType or "").lower() == "view"))
 
-    with ThreadPoolExecutor(max_workers=max_workers) as ex:
-        scraped = list(ex.map(lambda a: _scrape_table(spark, *a), targets))
-
-    out_rows = []
-    for m in scraped:
-        if m is None:
-            continue
-        if delta_tables_only and (m.get("format") or "") != "delta" and not m["is_view"]:
-            continue
-        for c in m["columns"]:
-            out_rows.append((
-                database, cluster, m["schema"], m["table"], m.get("description"),
-                c["name"], c["description"], c["col_type"], c["sort_order"],
-                m["is_view"], c["is_partition"], m.get("last_updated_epoch"),
-            ))
-    return spark.createDataFrame(out_rows, SCAN_SCHEMA)
+def catalog_locations(spark: SparkSession, scraped: list[dict]) -> DataFrame:
+    """Scraped dicts → ``(schema, table_name, location)`` rows for the
+    distributed fs probe (``sources/fs_probe.table_last_updated_fs``) —
+    the reference's filesystem fallback for tables whose catalog detail
+    carries no lastModified (``hive_table_last_updated_extractor.py``).
+    ``file:`` URIs are stripped to paths; non-file URIs pass through for
+    a Hadoop-FS-aware probe."""
+    rows = [
+        (m["schema"], m["table"],
+         m["location"][7:] if m["location"].startswith("file:") else m["location"])
+        for m in scraped
+        if m.get("location") and not m["is_view"]
+    ]
+    return spark.createDataFrame(
+        rows, "schema string, table_name string, location string")
 
 
 def catalog_table_rows(scan: DataFrame) -> DataFrame:

@@ -556,6 +556,94 @@ class CDCPipeline:
             )
         return out
 
+    def apply_catalog(self, scan: DataFrame, epoch_id: int,
+                      fs_last_updated: DataFrame | None = None) -> dict[str, Any]:
+        """Ingest one catalog/metastore scan into the graph — the engine's
+        composition of the reference's metadata DefaultJob (extractor →
+        TableMetadata/TableLastUpdated models → Neo4jCsvPublisher), run as
+        one idempotent 'catalog' channel epoch.
+
+        ``scan``: per-column contract rows (``sources/spark_catalog``
+        SCAN_SCHEMA or ``sources/jdbc`` STANDARD_COLUMNS, optionally with
+        ``last_updated_epoch``). ``fs_last_updated``: optional
+        ``(schema, table_name, last_updated_time)`` rows from the
+        distributed fs probe — merged with the catalog timestamps, newest
+        wins (``hive_table_last_updated_extractor.py``'s two-source union).
+        After the merge, point :func:`operators.staleness.remove_stale_nodes`
+        at ``publish_tag != 'catalog_epoch_{id}'`` to expire vanished tables
+        (the CLI --catalog-scan path prints the candidate counts)."""
+        from amundsendatabuilder_spark.operators.amundsen_models import (
+            table_last_updated_nodes,
+            table_last_updated_relations,
+            table_metadata_nodes,
+            table_metadata_relations,
+        )
+        from amundsendatabuilder_spark.sources.jdbc import (
+            STANDARD_COLUMNS,
+            explode_table_columns,
+            regroup_to_table_metadata,
+        )
+
+        if self.graph_nodes.last_epoch("catalog") >= epoch_id:
+            return {"epoch": epoch_id, "skipped": True}
+
+        tables = regroup_to_table_metadata(scan.select(*STANDARD_COLUMNS))
+        tables = self._mat(tables)
+        cols = explode_table_columns(tables)
+        nodes = table_metadata_nodes(tables, cols)
+        rels = table_metadata_relations(tables, cols)
+
+        lu = None
+        if "last_updated_epoch" in scan.columns:
+            lu = (
+                scan.where(F.col("last_updated_epoch").isNotNull())
+                .select("cluster", F.col("database").alias("db"), "schema",
+                        F.col("name").alias("table_name"),
+                        F.col("last_updated_epoch").alias("last_updated_time"))
+                .dropDuplicates(["cluster", "db", "schema", "table_name"])
+            )
+        if fs_last_updated is not None:
+            spine = scan.select(
+                "cluster", F.col("database").alias("db"), "schema",
+                F.col("name").alias("table_name"),
+            ).dropDuplicates(["cluster", "db", "schema", "table_name"])
+            probed = spine.join(fs_last_updated.select(
+                "schema", "table_name", "last_updated_time"),
+                ["schema", "table_name"])
+            lu = probed if lu is None else (
+                lu.unionByName(probed)
+                .groupBy("cluster", "db", "schema", "table_name")
+                .agg(F.max("last_updated_time").alias("last_updated_time"))
+            )
+        if lu is not None:
+            lu = lu.withColumnRenamed("last_updated_time",
+                                      "last_updated_time_epoch")
+            nodes = nodes.unionByName(table_last_updated_nodes(lu))
+            rels = rels.unionByName(table_last_updated_relations(lu))
+
+        tag = f"catalog_epoch_{epoch_id}"
+        jobs = {
+            "nodes": (self.graph_nodes,
+                      validate_nodes(nodes).drop("scope_key"),
+                      {"create_only_col": None}),
+            "rels": (self.graph_relations,
+                     validate_relations(rels).drop("scope_key"), {}),
+        }
+        preps = {
+            name: tbl.prepare_upsert(b, epoch_id, channel="catalog",
+                                     publish_tag=tag,
+                                     materialize_batch=False, **kw)
+            for name, (tbl, b, kw) in jobs.items()
+        }
+        out: dict[str, Any] = {"epoch": epoch_id, "publish_tag": tag}
+        for name in ("nodes", "rels"):
+            p = preps[name]
+            out[name] = (
+                {"skipped_epoch": epoch_id} if p is None
+                else jobs[name][0].commit_prepared(p)
+            )
+        return out
+
     # -- search snapshot publish (ElasticsearchPublisher equivalent) --------
 
     def publish_search_snapshot(self, publish_tag: str = "search_snapshot") -> dict[str, Any]:

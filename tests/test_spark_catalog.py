@@ -95,3 +95,59 @@ def test_catalog_scan_feeds_regroup_and_models(catalog):
     lu = catalog_last_updated(scan)
     assert lu.columns == ["cluster", "schema", "table_name", "last_updated_time"]
     assert lu.count() == 0
+
+
+def test_catalog_cli_pipeline_composition(catalog, tmp_path):
+    """job.py --catalog-scan: one DESCRIBE walk -> scan rows + fs-probe
+    locations -> apply_catalog merge (catalog channel epoch) -> staleness
+    candidate report; second run no-ops via the ledger."""
+    import json
+
+    from amundsendatabuilder_spark import job
+    from amundsendatabuilder_spark.sources.fs_probe import (
+        table_last_updated_fs,
+    )
+    from amundsendatabuilder_spark.sources.spark_catalog import (
+        catalog_locations,
+        catalog_scrape,
+    )
+    from amundsendatabuilder_spark.streaming.pipeline import CDCPipeline
+
+    spark = catalog
+    # populate sales so its parquet dir has a probe-able file mtime
+    spark.sql("INSERT INTO cat_test.sales VALUES (1, 2.0, '2024-01-01')")
+
+    scraped = catalog_scrape(spark, schema_list=["cat_test"])
+    locs = catalog_locations(spark, scraped)
+    got = {r["table_name"]: r["location"] for r in locs.collect()}
+    assert "sales" in got and "sales_v" not in got  # views carry no location
+    probed = {r["table_name"]: r["last_updated_time"]
+              for r in table_last_updated_fs(locs).collect()}
+    # parquet table dirs keep data under partition subdirs; the probe reads
+    # first-level files only, so at minimum the walk must not error — the
+    # partitioned fixture may or may not surface a first-level file
+    assert isinstance(probed, dict)
+
+    wh = str(tmp_path / "wh")
+    rc = job.main(["--warehouse", wh, "--catalog-scan",
+                   "--catalog-schemas", "cat_test", "--buckets", "4"])
+    assert rc == 0
+
+    pipe = CDCPipeline(spark, wh, n_buckets=4)
+    nodes = pipe.graph_nodes.read()
+    tbl = {r["key"]: r for r in nodes.where("label='Table'").collect()}
+    assert "delta://gold.cat_test/sales" in tbl
+    assert tbl["delta://gold.cat_test/sales_v"]["attributes"]["is_view"] == "true"
+    descs = {r["key"] for r in nodes.where("label='Description'").collect()}
+    assert "delta://gold.cat_test/sales/_description" in descs
+    cols = {r["key"] for r in nodes.where("label='Column'").collect()}
+    assert "delta://gold.cat_test/sales/order_id" in cols
+
+    # re-running the same catalog epoch is a ledger no-op
+    from amundsendatabuilder_spark.sources.spark_catalog import (
+        scan_rows_from_scrape,
+    )
+
+    m = pipe.apply_catalog(scan_rows_from_scrape(spark, scraped,
+                                                 cluster="gold"), 0)
+    assert m.get("skipped")
