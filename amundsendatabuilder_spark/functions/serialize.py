@@ -136,3 +136,23 @@ def canonical_doc_json(docs: DataFrame) -> DataFrame:
         "key",
         canonical_json_udf(F.col("raw")).alias("doc_json"),
     ).withColumn("doc_sha256", F.sha2(F.col("doc_json"), 256))
+
+
+def generic_load(df: DataFrame, callback) -> None:
+    """GenericLoader equivalent (``databuilder/loader/generic_loader.py:26-48``):
+    invoke a user callback for every record. The reference calls the
+    callback driver-side one record at a time; here it runs EXECUTOR-side
+    via ``foreachPartition`` (callback receives one dict per row), so a
+    custom sink keeps up at data scale — the callback must be picklable
+    and side-effect only (idempotent under task retries). None records
+    are skipped like the reference's ``if not record`` guard.
+
+    Streaming: pass a batch hook through foreachBatch —
+    ``stream.foreachBatch(lambda b, eid: generic_load(b, cb))``."""
+    def run(rows) -> None:
+        for r in rows:
+            if r is None:
+                continue
+            callback(r.asDict())
+
+    df.foreachPartition(run)

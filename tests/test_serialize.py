@@ -76,3 +76,28 @@ def test_canonical_doc_json_parity(spark):
     expected = json.dumps(ref, sort_keys=True) + "\n"
     assert out["doc_json"] == expected
     assert out["doc_sha256"] == hashlib.sha256(expected.encode()).hexdigest()
+
+
+def test_generic_load_callback(spark, tmp_path):
+    """GenericLoader shim: executor-side per-record callback (writes land
+    from worker processes, so assert via the filesystem)."""
+    import glob
+    import json
+    import os
+
+    from amundsendatabuilder_spark.functions.serialize import generic_load
+
+    out_dir = str(tmp_path / "sink")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sink(record: dict) -> None:
+        p = os.path.join(out_dir, f"{os.getpid()}_{record['k']}.json")
+        with open(p, "w") as fh:
+            json.dump(record, fh, sort_keys=True)
+
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k string, v int")
+    generic_load(df, sink)
+
+    got = sorted(
+        json.load(open(p))["k"] for p in glob.glob(out_dir + "/*.json"))
+    assert got == ["a", "b", "c"]
