@@ -625,6 +625,96 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_presto_view_decode(spark, sf_dir):
+    """Presto view decode chain (presto_view_metadata_extractor.py:93-116):
+    build a deterministic '/* Presto View: <b64 json> */' fence per
+    document row, run the COLUMNAR decode (substring_index → unbase64 →
+    from_json → posexplode), and land per-column contract rows. The oracle
+    computes the expected output directly from the same source columns —
+    the encode→decode round trip must be the identity."""
+    from amundsendatabuilder_spark.sources.jdbc import presto_view_scan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.base64(F.to_json(F.struct(F.array(
+        F.struct(F.lit("c0").alias("name"), F.col("lang").alias("type")),
+        F.struct(F.lit("c1").alias("name"), F.lit("varchar").alias("type")),
+    ).alias("columns"))).cast("binary"))
+    rows = docs.select(
+        F.col("source").alias("schema"),
+        F.concat(F.lit("v_"), F.col("doc_id")).alias("name"),
+        F.concat(F.lit("/* Presto View: "), payload,
+                 F.lit(" */")).alias("view_original_text"),
+    )
+    out = presto_view_scan(spark, rows=rows, cluster="gold")
+    return out.select(
+        "database", "cluster", "schema", "name", "col_name", "col_type",
+        F.col("col_sort_order").cast("long").alias("col_sort_order"),
+        "is_view",
+    )
+
+
+def q_atlas_mapping(spark, sf_dir):
+    """Atlas declarative field-mapping spec (atlas_search_data_extractor.py:
+    81-103,291-309): build a deterministic Atlas 'Table' entity JSON per
+    document row, run the columnar spec compiler
+    (sources/atlas_search.mapping_spec_select), and check every mapped
+    field — qualifiedName splits, ms→s, truthiness defaults (uniqueUsage 0
+    → 1), ACTIVE-only column/classification filters — against an oracle
+    that computes the expected values directly."""
+    from amundsendatabuilder_spark.sources.atlas_search import (
+        TABLE_ENTITY_SCHEMA,
+        TABLE_FIELDS_MAPPING_SPEC,
+        mapping_spec_select,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    entity_json = F.to_json(F.struct(
+        F.lit("hive_table").alias("typeName"),
+        (F.col("doc_id") * 1000 + 1700000000000).alias("updateTime"),
+        F.array(F.col("lang")).alias("tags"),
+        F.array(F.struct(F.lit("gold").alias("typeName"),
+                         F.lit("ACTIVE").alias("entityStatus"))
+                ).alias("classifications"),
+        F.struct(
+            F.concat(F.col("source"), F.lit(".t"), F.col("doc_id"),
+                     F.lit("@cl1")).alias("qualifiedName"),
+            F.concat(F.lit("t"), F.col("doc_id")).alias("name"),
+            F.lit("d").alias("description"),
+            (F.col("n_chars") % 7).cast("double").alias("popularityScore"),
+            (F.col("doc_id") % 3).cast("long").alias("uniqueUsage"),
+            F.create_map(F.lit("sourceDescription"),
+                         F.col("source")).alias("parameters"),
+        ).alias("attributes"),
+        F.struct(
+            F.struct(F.col("source").alias("displayText")).alias("db"),
+            F.array(
+                F.struct(F.lit("ACTIVE").alias("status"),
+                         F.struct(F.lit("cA").alias("name"),
+                                  F.lit("descA").alias("description")
+                                  ).alias("attributes")),
+                F.struct(F.lit("DELETED").alias("status"),
+                         F.struct(F.lit("cB").alias("name"),
+                                  F.lit(None).cast("string").alias("description")
+                                  ).alias("attributes")),
+            ).alias("columns"),
+        ).alias("relationshipAttributes"),
+    ))
+    e = F.from_json(entity_json, TABLE_ENTITY_SCHEMA).alias("e")
+    out = docs.select(e).select(
+        *mapping_spec_select(TABLE_FIELDS_MAPPING_SPEC, F.col("e")))
+    return out.select(
+        "database", "cluster", "schema", "name", "key", "description",
+        "last_updated_timestamp", "total_usage", "unique_usage",
+        "display_name", "schema_description",
+        F.array_join("column_names", ",").alias("column_names"),
+        F.array_join("column_descriptions", ",").alias("column_descriptions"),
+        F.array_join("badges", ",").alias("badges"),
+        F.array_join("tags", ",").alias("tags"),
+        F.array_join("programmatic_descriptions", ",").alias(
+            "programmatic_descriptions"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_latest_event": q_lww_latest_event,
@@ -653,6 +743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "metastore_regroup": q_metastore_regroup,
         "catalog_scan": q_catalog_scan,
+        "presto_view_decode": q_presto_view_decode,
+        "atlas_mapping": q_atlas_mapping,
         "dashboard_search_docs": q_dashboard_search_docs,
         "user_search_docs": q_user_search_docs,
         "cdc_replay_tables": q_cdc_replay_tables,
@@ -959,6 +1051,37 @@ def oracle_sql() -> dict[str, str]:
               ('langs_v', '', 'n', '', 'bigint', 1, true, false)
             ) t(name, description, col_name, col_description, col_type,
                 col_sort_order, is_view, is_partition)
+        """,
+        "presto_view_decode": """
+            SELECT 'presto' AS database, 'gold' AS cluster,
+                   source AS schema, 'v_' || doc_id AS name,
+                   'c0' AS col_name, lang AS col_type,
+                   CAST(0 AS BIGINT) AS col_sort_order, true AS is_view
+            FROM documents
+            UNION ALL
+            SELECT 'presto', 'gold', source, 'v_' || doc_id,
+                   'c1', 'varchar', CAST(1 AS BIGINT), true
+            FROM documents
+        """,
+        "atlas_mapping": """
+            SELECT 'hive_table' AS database,
+                   'cl1' AS cluster,
+                   source AS schema,
+                   't' || doc_id AS name,
+                   source || '.t' || doc_id || '@cl1' AS key,
+                   'd' AS description,
+                   CAST(1700000000 + doc_id AS BIGINT) AS last_updated_timestamp,
+                   CAST(n_chars % 7 AS BIGINT) AS total_usage,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE doc_id % 3 END
+                        AS BIGINT) AS unique_usage,
+                   source || '.t' || doc_id AS display_name,
+                   source AS schema_description,
+                   'cA' AS column_names,
+                   'descA' AS column_descriptions,
+                   'gold' AS badges,
+                   lang AS tags,
+                   source AS programmatic_descriptions
+            FROM documents
         """,
         "dashboard_search_docs": """
             WITH dash AS (SELECT DISTINCT p_partkey % 40 AS did FROM part),
