@@ -121,7 +121,14 @@ def main():
 
     w = mor["epoch_walls"]
     q = max(1, len(w) // 4)
-    flatness = round(sum(w[-q:]) / q / (sum(w[q:2 * q]) / q), 3)
+
+    def med(xs):
+        s = sorted(xs)
+        return (s[len(s) // 2] + s[(len(s) - 1) // 2]) / 2
+
+    # median, not mean: this host throws single 2-3x outlier epochs
+    # (documented variance), and one of those should not read as growth
+    flatness = round(med(w[-q:]) / med(w[q:2 * q]), 3)
     out = {
         "events": events, "chunks": n_chunks, "kill_at_epoch": kill_at,
         "mor_epoch_walls": mor["epoch_walls"],
