@@ -177,3 +177,167 @@ def mode_dashboard_last_successful_executions(
         F.col("execution_timestamp").alias("timestamp"),
         F.lit("succeeded").alias("state"),
     )
+
+
+EXECUTIONS_RUN_URL = "https://app.mode.com{last_run_resource_path}"
+OWNER_USER_URL = "https://app.mode.com{creator_resource_path}"
+MEMBERSHIPS_URL = "https://app.mode.com/api/{organization}/memberships"
+USER_URL = "https://app.mode.com{mode_user_resource_path}"
+CHARTS_BATCH_URL = "http://app.mode.com/batch/{organization}/charts"
+
+
+def mode_dashboard_executions(spark: SparkSession, organization: str,
+                              fetch: Callable[[str], Any],
+                              cluster: str = "gold") -> DataFrame:
+    """ModeDashboardExecutionsExtractor chain
+    (``mode_dashboard_executions_extractor.py:66-95``): reports OR-union
+    (token | last_run href) → per-run state/completed_at →
+    ``dashboard_execution_nodes`` contract with the rolling
+    ``_last_execution`` pointer (DashboardExecution's default id)."""
+    spaces = mode_spaces(spark, organization, fetch)
+    runs = rest_api_join(
+        spaces, REPORTS_URL,
+        "(_embedded.reports[*].token) | (_embedded.reports[*]._links.last_run.href)",
+        ["dashboard_id", "last_run_resource_path"], fetch,
+        json_path_contains_or=True, skip_no_result=True,
+    )
+    state = rest_api_join(
+        runs, EXECUTIONS_RUN_URL, "[state,completed_at]",
+        ["execution_state", "execution_timestamp"], fetch,
+        skip_no_result=True,
+    )
+    state = timestamp_to_epoch("execution_timestamp")(state)
+    return state.select(
+        F.lit("mode").alias("product"),
+        F.lit(cluster).alias("cluster"),
+        F.col("dashboard_group_id").alias("group_id"),
+        "dashboard_id",
+        F.lit("_last_execution").alias("execution_id"),
+        F.col("execution_timestamp").alias("timestamp"),
+        F.col("execution_state").alias("state"),
+    )
+
+
+def mode_dashboard_last_modified(spark: SparkSession, organization: str,
+                                 fetch: Callable[[str], Any],
+                                 cluster: str = "gold") -> DataFrame:
+    """ModeDashboardLastModifiedTimestampExtractor chain
+    (``mode_dashboard_last_modified_timestamp_extractor.py:45-64``):
+    reports ``[token, edited_at]`` → ``dashboard_last_modified_nodes``
+    contract (ISO → epoch)."""
+    spaces = mode_spaces(spark, organization, fetch)
+    lm = _reports_hop(spaces, fetch, "token,edited_at",
+                      ["dashboard_id", "last_modified_timestamp"])
+    lm = timestamp_to_epoch("last_modified_timestamp")(lm)
+    return lm.select(
+        F.lit("mode").alias("product"),
+        F.lit(cluster).alias("cluster"),
+        F.col("dashboard_group_id").alias("group_id"),
+        "dashboard_id", "last_modified_timestamp",
+    )
+
+
+def mode_dashboard_owners(spark: SparkSession, organization: str,
+                          fetch: Callable[[str], Any],
+                          cluster: str = "gold") -> DataFrame:
+    """ModeDashboardOwnerExtractor chain
+    (``mode_dashboard_owner_extractor.py:44-77``): reports OR-union
+    (token | creator href) → per-creator email with the 404-skip policy →
+    ``dashboard_owner_relations`` contract."""
+    from amundsendatabuilder_spark.sources.rest_api import (
+        http_failure_skip_on_status,
+    )
+
+    spaces = mode_spaces(spark, organization, fetch)
+    creators = rest_api_join(
+        spaces, REPORTS_URL,
+        "(_embedded.reports[*].token) | (_embedded.reports[*]._links.creator.href)",
+        ["dashboard_id", "creator_resource_path"], fetch,
+        json_path_contains_or=True, skip_no_result=True,
+    )
+    owners = rest_api_join(
+        creators, OWNER_USER_URL, "email", ["email"], fetch,
+        skip_no_result=True,
+        can_skip_failure=http_failure_skip_on_status({404}),
+    )
+    return owners.select(
+        F.lit("mode").alias("product"),
+        F.lit(cluster).alias("cluster"),
+        F.col("dashboard_group_id").alias("group_id"),
+        "dashboard_id", "email",
+    )
+
+
+def mode_dashboard_usage(spark: SparkSession, organization: str,
+                         fetch: Callable[[str], Any],
+                         cluster: str = "gold") -> DataFrame:
+    """ModeDashboardUsageExtractor chain
+    (``mode_dashboard_usage_extractor.py:35-55``): reports
+    ``[token, view_count]`` → one row per dashboard with the accumulated
+    view count (feeds the doc-level total_usage decoration)."""
+    spaces = mode_spaces(spark, organization, fetch)
+    usage = _reports_hop(spaces, fetch, "token,view_count",
+                         ["dashboard_id", "accumulated_view_count"])
+    return usage.select(
+        F.lit("mode").alias("product"),
+        F.lit(cluster).alias("cluster"),
+        F.col("dashboard_group_id").alias("group_id"),
+        "dashboard_id",
+        F.col("accumulated_view_count").cast("long")
+        .alias("accumulated_view_count"),
+    )
+
+
+def mode_dashboard_users(spark: SparkSession, organization: str,
+                         fetch: Callable[[str], Any]) -> DataFrame:
+    """ModeDashboardUserExtractor chain
+    (``mode_dashboard_user_extractor.py:70-107``): memberships OR-union
+    (member_username | user href) → per-user email (404-skip) → User rows
+    carrying the extra ``mode_user_id`` attribute; the reference's
+    RemoveFieldTransformer drop (organization / resource path / product)
+    is the select below."""
+    from amundsendatabuilder_spark.sources.rest_api import (
+        http_failure_skip_on_status,
+    )
+
+    seed = _seed(spark, organization)
+    members = rest_api_join(
+        seed, MEMBERSHIPS_URL,
+        "(_embedded.memberships[*].member_username) | "
+        "(_embedded.memberships[*]._links.user.href)",
+        ["mode_user_id", "mode_user_resource_path"], fetch,
+        json_path_contains_or=True, skip_no_result=True,
+    )
+    users = rest_api_join(
+        members, USER_URL, "email", ["email"], fetch,
+        skip_no_result=True,
+        can_skip_failure=http_failure_skip_on_status({404}),
+    )
+    return users.select("email", "mode_user_id")
+
+
+def mode_dashboard_charts_batch(spark: SparkSession, organization: str,
+                                fetch: Callable[[str], Any],
+                                cluster: str = "gold",
+                                include_all_space: bool = False) -> DataFrame:
+    """ModeDashboardChartsBatchExtractor
+    (``batch/mode_dashboard_charts_batch_extractor.py:57-89``): the
+    discovery endpoint lists every chart for the organization in one
+    paginated sweep — six fields per chart including name and type (the
+    per-query charts endpoint carries neither) → ``dashboard_chart_nodes``
+    contract. Pagination is delegated to ``fetch`` as in every chain."""
+    url = CHARTS_BATCH_URL + ("?include_spaces=all" if include_all_space else "")
+    charts = rest_api_join(
+        _seed(spark, organization), url,
+        "(charts[*].[space_token,report_token,query_token,token,"
+        "chart_title,chart_type])",
+        ["dashboard_group_id", "dashboard_id", "query_id", "chart_id",
+         "chart_name", "chart_type"], fetch, skip_no_result=True,
+    )
+    return charts.select(
+        F.lit("mode").alias("product"),
+        F.lit(cluster).alias("cluster"),
+        F.col("dashboard_group_id").alias("group_id"),
+        "dashboard_id", "query_id", "chart_id", "chart_name", "chart_type",
+        F.lit(None).cast("string").alias("chart_url"),
+    )

@@ -150,6 +150,21 @@ def compute_sub_records(result_list: list, field_names: list[str],
     return [[result_list[j] for j in range(i, len(result_list), n)] for i in range(n)]
 
 
+def http_failure_skip_on_status(status_codes: set[int]) -> Callable[[Exception], bool]:
+    """The reference's HttpFailureSkipOnStatus policy
+    (``rest_api/rest_api_failure_handlers.py``): skip records whose fetch
+    raised with one of the given HTTP status codes. Works with any
+    exception exposing ``status_code`` directly or via ``.response``
+    (the requests.HTTPError shape)."""
+    def can_skip(e: Exception) -> bool:
+        code = getattr(e, "status_code", None)
+        if code is None:
+            code = getattr(getattr(e, "response", None), "status_code", None)
+        return code in status_codes
+
+    return can_skip
+
+
 def rest_api_join(
     prev: DataFrame,
     url: str,

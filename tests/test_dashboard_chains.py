@@ -39,9 +39,42 @@ def make_fake_mode_api():
                 {"token": f"r{s}{j}", "name": f"Report {s}{j}",
                  "description": f"report desc {s}{j}",
                  "created_at": f"2024-01-0{j + 1}T00:00:00Z",
-                 "last_successfully_run_at": f"2024-02-0{j + 1}T00:00:00Z"}
+                 "last_successfully_run_at": f"2024-02-0{j + 1}T00:00:00Z",
+                 "edited_at": f"2024-03-0{j + 1}T00:00:00Z",
+                 "view_count": 10 * s + j,
+                 "_links": {
+                     "last_run": {"href": f"/api/acme/reports/r{s}{j}/runs/latest"},
+                     "creator": {"href": f"/api/acme/users/u{s}{j}"},
+                 }}
                 for j in range(2)
             ]}}
+        m = re.match(
+            r"https://app\.mode\.com/api/acme/reports/r(\d+)/runs/latest$", url)
+        if m:
+            r = m.group(1)
+            return {"state": "succeeded" if r != "11" else "failed",
+                    "completed_at": "2024-04-01T00:00:00Z"}
+        m = re.match(r"https://app\.mode\.com/api/acme/users/u(\d+)$", url)
+        if m:
+            if m.group(1) == "10":  # deactivated creator -> 404 skip
+                e = RuntimeError("404 not found")
+                e.status_code = 404
+                raise e
+            return {"email": f"u{m.group(1)}@acme.com"}
+        if url == "https://app.mode.com/api/acme/memberships":
+            return {"_embedded": {"memberships": [
+                {"member_username": "alice",
+                 "_links": {"user": {"href": "/api/acme/users/u00"}}},
+                {"member_username": "bob",
+                 "_links": {"user": {"href": "/api/acme/users/u10"}}},
+            ]}}
+        if url.startswith("http://app.mode.com/batch/acme/charts"):
+            return {"charts": [
+                {"space_token": f"sp{s}", "report_token": f"r{s}{j}",
+                 "query_token": f"q{s}{j}0", "token": f"bc{s}{j}",
+                 "chart_title": f"Chart {s}{j}", "chart_type": "bar"}
+                for s in range(2) for j in range(2)
+            ]}
         m = re.match(r"https://app\.mode\.com/api/acme/reports/r(\d+)/queries$", url)
         if m:
             r = m.group(1)
@@ -121,3 +154,55 @@ def test_mode_chains_to_search_docs(spark):
     assert sorted(d["query_names"]) == ["Query 100", "Query 101"]
     # 2024-02-01 epoch from the rolling _last_successful_execution pointer
     assert d["last_successful_run_timestamp"] == 1706745600
+
+
+def test_mode_secondary_chains(spark):
+    """Executions / last-modified / owners (404-skip) / usage / users /
+    batch charts — the six remaining Mode extractor chains."""
+    from amundsendatabuilder_spark.sources.dashboard_chains import (
+        mode_dashboard_charts_batch,
+        mode_dashboard_executions,
+        mode_dashboard_last_modified,
+        mode_dashboard_owners,
+        mode_dashboard_usage,
+        mode_dashboard_users,
+    )
+
+    fetch = make_fake_mode_api()
+
+    ex = {r["dashboard_id"]: r
+          for r in mode_dashboard_executions(spark, ORG, fetch).collect()}
+    assert len(ex) == 4
+    assert ex["r00"]["execution_id"] == "_last_execution"
+    assert ex["r00"]["state"] == "succeeded"
+    assert ex["r11"]["state"] == "failed"
+    assert ex["r00"]["timestamp"] == 1711929600  # 2024-04-01
+
+    lm = {r["dashboard_id"]: r["last_modified_timestamp"]
+          for r in mode_dashboard_last_modified(spark, ORG, fetch).collect()}
+    assert lm["r01"] == 1709337600  # edited_at 2024-03-02
+    assert lm["r00"] == 1709251200  # 2024-03-01
+
+    ow = {r["dashboard_id"]: r["email"]
+          for r in mode_dashboard_owners(spark, ORG, fetch).collect()}
+    # creator u10 404s -> r10 skipped by the status policy
+    assert ow == {"r00": "u00@acme.com", "r01": "u01@acme.com",
+                  "r11": "u11@acme.com"}
+
+    us = {r["dashboard_id"]: r["accumulated_view_count"]
+          for r in mode_dashboard_usage(spark, ORG, fetch).collect()}
+    assert us == {"r00": 0, "r01": 1, "r10": 10, "r11": 11}
+
+    users = {r["mode_user_id"]: r["email"]
+             for r in mode_dashboard_users(spark, ORG, fetch).collect()}
+    # bob's user href 404s -> skipped
+    assert users == {"alice": "u00@acme.com"}
+
+    bc = {r["chart_id"]: r
+          for r in mode_dashboard_charts_batch(spark, ORG, fetch).collect()}
+    assert len(bc) == 4
+    assert bc["bc01"]["group_id"] == "sp0"
+    assert bc["bc01"]["dashboard_id"] == "r01"
+    assert bc["bc01"]["query_id"] == "q010"
+    assert bc["bc01"]["chart_name"] == "Chart 01"
+    assert bc["bc01"]["chart_type"] == "bar"
