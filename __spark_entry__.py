@@ -715,6 +715,56 @@ def q_atlas_mapping(spark, sf_dir):
     )
 
 
+def q_feast_columns(spark, sf_dir):
+    """Feast Core registry scan (feast_extractor.py:71-100): a deterministic
+    registry synthesized from ``nation`` (projects = regions, one feature
+    table per nation, entity key first then features with the sort order
+    continuing across the two groups) run through ``feast_metadata_scan``;
+    the oracle recomputes the same per-column contract in SQL. Registry
+    listing is bounded driver-side metadata traffic, like the reference's
+    Feast Core client walk."""
+    from amundsendatabuilder_spark.sources.api_scans import feast_metadata_scan
+
+    nations = sorted(
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey").collect(),
+        key=lambda r: r["n_nationkey"],
+    )
+    by_proj: dict[str, list] = {}
+    for r in nations:
+        by_proj.setdefault(f"proj_{r['n_regionkey']}", []).append(r)
+
+    def list_projects():
+        return sorted(by_proj)
+
+    def list_feature_tables(project):
+        return [
+            {
+                "name": f"ft_{r['n_name'].lower()}",
+                "entities": [f"ent_{r['n_nationkey']}"],
+                "features": [
+                    {"name": f"f{k}", "dtype": "FLOAT"}
+                    for k in range(r["n_nationkey"] % 3 + 1)
+                ],
+            }
+            for r in by_proj[project]
+        ]
+
+    def get_entity(name, project):
+        return {"name": name, "description": f"key for {project}",
+                "value_type": "STRING"}
+
+    scan = feast_metadata_scan(spark, list_projects, list_feature_tables,
+                               get_entity, instance_name="feast_main")
+    return scan.select(
+        "database", "cluster", "schema", "name", "col_name",
+        F.coalesce("col_description", F.lit("")).alias("col_description"),
+        "col_type",
+        F.col("col_sort_order").cast("long").alias("col_sort_order"),
+        "is_view", "is_partition",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_latest_event": q_lww_latest_event,
@@ -745,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_scan": q_catalog_scan,
         "presto_view_decode": q_presto_view_decode,
         "atlas_mapping": q_atlas_mapping,
+        "feast_columns": q_feast_columns,
         "dashboard_search_docs": q_dashboard_search_docs,
         "user_search_docs": q_user_search_docs,
         "cdc_replay_tables": q_cdc_replay_tables,
@@ -1062,6 +1113,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'presto', 'gold', source, 'v_' || doc_id,
                    'c1', 'varchar', CAST(1 AS BIGINT), true
             FROM documents
+        """,
+        "feast_columns": """
+            WITH ents AS (
+              SELECT 'feast' AS database, 'feast_main' AS cluster,
+                     'proj_' || n_regionkey AS schema,
+                     'ft_' || lower(n_name) AS name,
+                     'ent_' || n_nationkey AS col_name,
+                     'key for proj_' || n_regionkey AS col_description,
+                     'STRING' AS col_type,
+                     CAST(0 AS BIGINT) AS col_sort_order,
+                     false AS is_view, false AS is_partition
+              FROM nation
+            ), feats AS (
+              SELECT 'feast' AS database, 'feast_main' AS cluster,
+                     'proj_' || n_regionkey AS schema,
+                     'ft_' || lower(n_name) AS name,
+                     'f' || i AS col_name,
+                     '' AS col_description,
+                     'FLOAT' AS col_type,
+                     CAST(1 + i AS BIGINT) AS col_sort_order,
+                     false AS is_view, false AS is_partition
+              FROM nation, LATERAL (
+                SELECT unnest(range(n_nationkey % 3 + 1)) AS i)
+            )
+            SELECT * FROM ents UNION ALL SELECT * FROM feats
         """,
         "atlas_mapping": """
             SELECT 'hive_table' AS database,

@@ -22,7 +22,12 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="PySpark CDC ingest engine")
-    p.add_argument("--warehouse", required=True)
+    p.add_argument("--conf", help="JSON config file; scoped keys under"
+                   " 'pipeline.*' (warehouse, buckets, cluster, source,"
+                   " checkpoint) supply defaults that CLI flags override —"
+                   " the reference's Scoped.get_scoped_conf idiom"
+                   " (databuilder/__init__.py:63-75)")
+    p.add_argument("--warehouse")
     p.add_argument("--source", help="changelog parquet dir (stream/batch input)")
     p.add_argument("--checkpoint", help="streaming checkpoint dir")
     p.add_argument("--buckets", type=int, default=4096)
@@ -47,75 +52,95 @@ def main(argv: list[str] | None = None) -> int:
                         " catalog detail carries no lastModified")
     args = p.parse_args(argv)
 
+    if args.conf:
+        from amundsendatabuilder_spark.orchestration import scoped_conf
+
+        with open(args.conf) as fh:
+            pconf = scoped_conf(json.load(fh), "pipeline")
+        for key in ("warehouse", "source", "checkpoint", "cluster"):
+            if getattr(args, key) in (None, p.get_default(key)):
+                setattr(args, key, pconf.get(key, getattr(args, key)))
+        if args.buckets == p.get_default("buckets"):
+            args.buckets = int(pconf.get("buckets", args.buckets))
+    if not args.warehouse:
+        p.error("--warehouse (or pipeline.warehouse in --conf) is required")
+
     from pyspark.sql import SparkSession
 
+    from amundsendatabuilder_spark.orchestration import Closer
+
     spark = SparkSession.builder.appName("cdc-ingest").getOrCreate()
+    # the reference's DefaultJob guarantees teardown through Job.closer
+    # (databuilder/job/job.py:71,87); same idiom, context-managed
+    closer = Closer()
+    closer.register(spark.stop)
     from amundsendatabuilder_spark.sources.changelog import write_changelog_chunks
     from amundsendatabuilder_spark.streaming.pipeline import CDCPipeline
 
-    if args.generate:
-        paths = write_changelog_chunks(
-            spark, args.source, args.generate, args.chunks
+    with closer:
+        if args.generate:
+            paths = write_changelog_chunks(
+                spark, args.source, args.generate, args.chunks
+            )
+            print(json.dumps({"generated_chunks": paths}))
+            return 0
+
+        pipe = CDCPipeline(
+            spark, args.warehouse, n_buckets=args.buckets, cluster=args.cluster
         )
-        print(json.dumps({"generated_chunks": paths}))
+        if args.catalog_scan:
+            # catalog → nodes → merge → staleness candidates: the reference's
+            # metadata DefaultJob + Neo4jStalenessRemovalTask, one CLI call
+            from pyspark.sql import functions as F
+
+            from amundsendatabuilder_spark.sources.fs_probe import (
+                table_last_updated_fs,
+            )
+            from amundsendatabuilder_spark.sources.spark_catalog import (
+                catalog_locations,
+                catalog_scrape,
+                scan_rows_from_scrape,
+            )
+
+            schemas = [s for s in args.catalog_schemas.split(",") if s] or None
+            scraped = catalog_scrape(spark, schema_list=schemas)
+            scan = scan_rows_from_scrape(
+                spark, scraped, database=args.catalog_database,
+                cluster=args.cluster)
+            fs_lu = None
+            if not args.no_fs_probe:
+                fs_lu = table_last_updated_fs(catalog_locations(spark, scraped))
+            metrics = pipe.apply_catalog(scan, args.catalog_epoch,
+                                         fs_last_updated=fs_lu)
+            tag = metrics.get("publish_tag", f"catalog_epoch_{args.catalog_epoch}")
+            stale = (
+                pipe.graph_nodes.read()
+                .where(F.col("publish_tag") != F.lit(tag))
+                .groupBy("label").count().collect()
+            )
+            metrics["stale_candidates"] = {r["label"]: r["count"] for r in stale}
+            print(json.dumps(metrics, default=str))
+            return 0
+        if args.stream:
+            if not args.checkpoint:
+                p.error("--stream requires --checkpoint")
+            q = pipe.run_stream(
+                args.source,
+                args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+                available_now=not args.follow,
+            )
+            q.awaitTermination()
+        else:
+            import glob
+
+            chunks = sorted(d for d in glob.glob(f"{args.source}/*") if "/chunk_" in d)
+            metrics = pipe.replay_batches(chunks)
+            print(json.dumps({"epochs": len(metrics)}))
+
+        if args.vacuum_tombstones_ms:
+            print(json.dumps(pipe.vacuum_tombstones(args.vacuum_tombstones_ms)))
         return 0
-
-    pipe = CDCPipeline(
-        spark, args.warehouse, n_buckets=args.buckets, cluster=args.cluster
-    )
-    if args.catalog_scan:
-        # catalog → nodes → merge → staleness candidates: the reference's
-        # metadata DefaultJob + Neo4jStalenessRemovalTask, one CLI call
-        from pyspark.sql import functions as F
-
-        from amundsendatabuilder_spark.sources.fs_probe import (
-            table_last_updated_fs,
-        )
-        from amundsendatabuilder_spark.sources.spark_catalog import (
-            catalog_locations,
-            catalog_scrape,
-            scan_rows_from_scrape,
-        )
-
-        schemas = [s for s in args.catalog_schemas.split(",") if s] or None
-        scraped = catalog_scrape(spark, schema_list=schemas)
-        scan = scan_rows_from_scrape(
-            spark, scraped, database=args.catalog_database,
-            cluster=args.cluster)
-        fs_lu = None
-        if not args.no_fs_probe:
-            fs_lu = table_last_updated_fs(catalog_locations(spark, scraped))
-        metrics = pipe.apply_catalog(scan, args.catalog_epoch,
-                                     fs_last_updated=fs_lu)
-        tag = metrics.get("publish_tag", f"catalog_epoch_{args.catalog_epoch}")
-        stale = (
-            pipe.graph_nodes.read()
-            .where(F.col("publish_tag") != F.lit(tag))
-            .groupBy("label").count().collect()
-        )
-        metrics["stale_candidates"] = {r["label"]: r["count"] for r in stale}
-        print(json.dumps(metrics, default=str))
-        return 0
-    if args.stream:
-        if not args.checkpoint:
-            p.error("--stream requires --checkpoint")
-        q = pipe.run_stream(
-            args.source,
-            args.checkpoint,
-            max_files_per_trigger=args.max_files_per_trigger,
-            available_now=not args.follow,
-        )
-        q.awaitTermination()
-    else:
-        import glob
-
-        chunks = sorted(d for d in glob.glob(f"{args.source}/*") if "/chunk_" in d)
-        metrics = pipe.replay_batches(chunks)
-        print(json.dumps({"epochs": len(metrics)}))
-
-    if args.vacuum_tombstones_ms:
-        print(json.dumps(pipe.vacuum_tombstones(args.vacuum_tombstones_ms)))
-    return 0
 
 
 if __name__ == "__main__":
