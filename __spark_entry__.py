@@ -765,6 +765,22 @@ def q_feast_columns(spark, sf_dir):
     )
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate dedup (the embedding sibling of
+    minhash/simhash): IVF-style label-blocked candidate pairs with an exact
+    integer-quantized cosine >= 0.3 test (functions/similarity.
+    embedding_neardup_pairs). Quantized integer arithmetic makes the
+    threshold decision bit-identical between Spark and the SQL oracle —
+    no float summation-order drift."""
+    from amundsendatabuilder_spark.functions.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb).select(
+        "id_a", "id_b", F.col("label").cast("long").alias("label"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_latest_event": q_lww_latest_event,
@@ -796,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "presto_view_decode": q_presto_view_decode,
         "atlas_mapping": q_atlas_mapping,
         "feast_columns": q_feast_columns,
+        "embedding_neardup": q_embedding_neardup,
         "dashboard_search_docs": q_dashboard_search_docs,
         "user_search_docs": q_user_search_docs,
         "cdc_replay_tables": q_cdc_replay_tables,
@@ -1113,6 +1130,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'presto', 'gold', source, 'v_' || doc_id,
                    'c1', 'varchar', CAST(1 AS BIGINT), true
             FROM documents
+        """,
+        "embedding_neardup": """
+            WITH q AS (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                     ) AS qv
+              FROM embeddings
+            ), n AS (
+              SELECT vec_id, label, qv,
+                     list_sum(list_transform(qv, x -> x * x)) AS n2
+              FROM q
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(a.label AS BIGINT) AS label
+            FROM n a JOIN n b
+              ON a.label = b.label AND a.vec_id < b.vec_id,
+            LATERAL (
+              SELECT list_sum(list_transform(range(len(a.qv)),
+                       i -> a.qv[i + 1] * b.qv[i + 1])) AS dot) d
+            WHERE d.dot > 0
+              AND 100 * d.dot * d.dot >= 9 * a.n2 * b.n2
         """,
         "feast_columns": """
             WITH ents AS (

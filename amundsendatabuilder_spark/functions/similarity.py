@@ -189,3 +189,75 @@ def lsh_bucket_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    tau_num: int = 3,
+    tau_den: int = 10,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: IVF-style coarse-cluster
+    blocking + an EXACT integer-quantized cosine threshold.
+
+    Candidates are generated only within a coarse cluster (``block_col`` —
+    a k-means/IVF assignment or any deterministic partition of the corpus),
+    which replaces the O(n²) all-pairs cross product with per-cluster
+    self-joins: one shuffle on the block key, skewed mega-clusters salvable
+    by sub-bucketing with :func:`hyperplane_signature`.  This is the
+    dedup-flavored sibling of :func:`lsh_bucket_topk` (pairs over a
+    threshold rather than top-k per query).
+
+    The threshold test avoids floats entirely: components are quantized to
+    integers (``round(x·scale)``), and ``cos(a,b) ≥ τ`` with τ =
+    tau_num/tau_den is evaluated as
+
+        dot(qa,qb) > 0  AND  tau_den²·dot² ≥ tau_num²·|qa|²·|qb|²
+
+    — exact integer arithmetic inside whole-stage codegen, bit-reproducible
+    across engines and cluster widths (no summation-order or rounding-mode
+    drift).  dot/|q|² accumulate in int64 (safe up to |component| ≈ 10⁵ at
+    scale=10⁴, i.e. vectors hundreds of times past unit norm); the
+    threshold products are widened to decimal(38,0) so even such
+    far-from-unit vectors compare exactly instead of overflowing (DuckDB
+    promotes the same expressions to HUGEINT).
+    """
+    q = df.select(
+        F.col(id_col),
+        F.col(block_col),
+        F.expr(
+            f"transform({vec_col}, x ->"
+            f" cast(round(cast(x as double) * {int(scale)}) as bigint))"
+        ).alias("qv"),
+    ).withColumn(
+        "n2", F.expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)")
+    )
+    a, b = q.alias("a"), q.alias("b")
+    num, den = tau_num * tau_num, tau_den * tau_den
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "dot",
+            F.expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y),"
+                   " 0L, (acc, v) -> acc + v)"),
+        )
+        .where(
+            (F.col("dot") > 0)
+            & (F.lit(den) * F.col("dot").cast("decimal(38,0)")
+               * F.col("dot").cast("decimal(38,0)")
+               >= F.lit(num) * F.col("a.n2").cast("decimal(38,0)")
+               * F.col("b.n2").cast("decimal(38,0)"))
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{block_col}").alias(block_col),
+        )
+    )

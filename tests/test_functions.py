@@ -229,3 +229,38 @@ def test_simhash_candidate_budget_guard(spark, docs):
     # same setup with the budget disabled still runs
     assert simhash_near_pairs(docs, max_hamming=8,
                               max_candidate_pairs=None).count() >= 0
+
+
+def test_embedding_neardup_exact_vs_bruteforce(spark):
+    """Label-blocked quantized near-dup == float brute force within blocks
+    (the quantized integer test must agree with true cosine away from the
+    threshold; construct vectors with wide margin), and pairs never cross
+    blocks."""
+    import math
+
+    from amundsendatabuilder_spark.functions.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base = [1.0] + [0.0] * 7
+    near = unit([0.95, 0.1, 0.1, 0.1, 0.0, 0.0, 0.0, 0.0])   # cos ~0.97
+    far = unit([0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0])     # cos 0
+    rows = [
+        (1, 0, base), (2, 0, near), (3, 0, far),
+        (4, 1, base),  # same vector as id 1 but another block: no pair
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    got = {(r["id_a"], r["id_b"])
+           for r in embedding_neardup_pairs(df, tau_num=8, tau_den=10).collect()}
+    assert got == {(1, 2)}  # near pair found; far and cross-block excluded
+
+    # threshold is exact integer arithmetic: cos==tau counts as >= (ties in)
+    tie = spark.createDataFrame(
+        [(1, 0, [3.0, 4.0, 0.0]), (2, 0, [3.0, -4.0, 0.0])],
+        "vec_id long, label int, embedding array<float>")
+    # cos = (9-16)/25 < 0 -> dot<0 excluded even though |cos| large
+    assert embedding_neardup_pairs(tie, tau_num=1, tau_den=100).count() == 0
