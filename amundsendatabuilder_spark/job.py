@@ -69,11 +69,16 @@ def main(argv: list[str] | None = None) -> int:
 
     from amundsendatabuilder_spark.orchestration import Closer
 
-    spark = SparkSession.builder.appName("cdc-ingest").getOrCreate()
     # the reference's DefaultJob guarantees teardown through Job.closer
-    # (databuilder/job/job.py:71,87); same idiom, context-managed
+    # (databuilder/job/job.py:71,87); same idiom, context-managed. Only
+    # stop the session if THIS entry created it — under getOrCreate a host
+    # process (tests, a notebook) may own the session already, and stopping
+    # a borrowed session would tear down the host's executor state.
+    owns_session = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName("cdc-ingest").getOrCreate()
     closer = Closer()
-    closer.register(spark.stop)
+    if owns_session:
+        closer.register(spark.stop)
     from amundsendatabuilder_spark.sources.changelog import write_changelog_chunks
     from amundsendatabuilder_spark.streaming.pipeline import CDCPipeline
 
