@@ -781,6 +781,22 @@ def q_embedding_neardup(spark, sf_dir):
         "id_a", "id_b", F.col("label").cast("long").alias("label"))
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Gaps-and-islands sessionization of the event log (30-min inactivity
+    gap): one shuffle on user_id shared by both windows and the final agg
+    (functions/sessionize.sessionize_events). Integer epoch-micros gap
+    math + decimal value sums keep the result bit-identical to the SQL
+    oracle."""
+    from amundsendatabuilder_spark.functions.sessionize import (
+        sessionize_events,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_events(ev).select(
+        "user_id", F.col("session_seq").cast("long").alias("session_seq"),
+        "start_us", "end_us", "n_events", "sum_value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_latest_event": q_lww_latest_event,
@@ -813,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "atlas_mapping": q_atlas_mapping,
         "feast_columns": q_feast_columns,
         "embedding_neardup": q_embedding_neardup,
+        "sessionize_events": q_sessionize_events,
         "dashboard_search_docs": q_dashboard_search_docs,
         "user_search_docs": q_user_search_docs,
         "cdc_replay_tables": q_cdc_replay_tables,
@@ -1130,6 +1147,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'presto', 'gold', source, 'v_' || doc_id,
                    'c1', 'varchar', CAST(1 AS BIGINT), true
             FROM documents
+        """,
+        "sessionize_events": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                     CAST(value AS DECIMAL(18,2)) AS v
+              FROM events
+            ), flagged AS (
+              SELECT *,
+                     CASE WHEN lag(ts_us) OVER w IS NULL
+                            OR ts_us - lag(ts_us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            ), sess AS (
+              SELECT *,
+                     SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM flagged
+            )
+            SELECT user_id,
+                   CAST(session_seq AS BIGINT) AS session_seq,
+                   min(ts_us) AS start_us,
+                   max(ts_us) AS end_us,
+                   COUNT(*) AS n_events,
+                   SUM(v) AS sum_value
+            FROM sess
+            GROUP BY user_id, session_seq
         """,
         "embedding_neardup": """
             WITH q AS (

@@ -264,3 +264,37 @@ def test_embedding_neardup_exact_vs_bruteforce(spark):
         "vec_id long, label int, embedding array<float>")
     # cos = (9-16)/25 < 0 -> dot<0 excluded even though |cos| large
     assert embedding_neardup_pairs(tie, tau_num=1, tau_den=100).count() == 0
+
+
+def test_sessionize_events_gap_semantics(spark):
+    """Gap strictly-greater splits; exactly-gap stays; per-user isolation;
+    decimal sums exact; single shuffle on user_id."""
+    from datetime import datetime
+
+    from amundsendatabuilder_spark.functions.sessionize import (
+        sessionize_events,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(mins):
+        return datetime(2024, 1, 1, mins // 60, mins % 60, 0)
+
+    rows = [
+        (1, t0, 10, 1.10),            # u10 s1
+        (2, at(30), 10, 2.20),        # exactly 30 min gap -> SAME session
+        (3, at(61), 10, 3.30),        # 31 min gap -> new session
+        (4, t0, 20, 5.00),            # other user: own numbering
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double")
+    got = {(r["user_id"], r["session_seq"]): (r["n_events"], str(r["sum_value"]))
+           for r in sessionize_events(df, gap_minutes=30).collect()}
+    assert got == {
+        (10, 1): (2, "3.30"),   # 1.10 + 2.20 exact decimal
+        (10, 2): (1, "3.30"),
+        (20, 1): (1, "5.00"),
+    }
+    # one exchange: windows + agg share the user_id partitioning
+    plan = sessionize_events(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # data exchange + AQE final read
