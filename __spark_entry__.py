@@ -797,6 +797,124 @@ def q_sessionize_events(spark, sf_dir):
         "start_us", "end_us", "n_events", "sum_value")
 
 
+def q_dedup_components(spark, sf_dir):
+    """Dedup-cluster canonicalization: SimHash hamming<=1 near-dup pairs
+    (functions/dedup.simhash_near_pairs) fed into distributed connected
+    components (functions/components.connected_components — alternating
+    large-star/small-star, O(log n) shuffle rounds regardless of cluster
+    diameter).  Component label = min doc_id reachable; the DuckDB oracle
+    recomputes it as a recursive-CTE transitive closure."""
+    from amundsendatabuilder_spark.functions.components import (
+        connected_components,
+    )
+    from amundsendatabuilder_spark.functions.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    pairs = simhash_near_pairs(d, max_hamming=1, hasher="md5",
+                               max_candidate_pairs=None)
+    return connected_components(pairs, src="id_a", dst="id_b")
+
+
+def q_asof_signup(spark, sf_dir):
+    """As-of join (functions/asof.asof_join): every non-signup event
+    aligned to the user's latest signup at or before it — the union-tag
+    single-shuffle plan (O(|L|+|R|), no per-key range explosion) vs
+    DuckDB's native ASOF LEFT JOIN as the oracle."""
+    from amundsendatabuilder_spark.functions.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"), "user_id", "ts")
+    out = asof_join(left, right, key="user_id",
+                    right_cols=["signup_event_id"])
+    # parquet event ts is TIMESTAMP_NTZ: timezone-independent micros
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    return out.select(
+        "event_id", "user_id",
+        ts_us.alias("ts_us"),
+        F.coalesce(F.col("ts_r"), F.lit(-1)).alias("signup_us"),
+        F.coalesce(F.col("signup_event_id_r"), F.lit(-1))
+            .alias("signup_event_id"),
+    )
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (functions/curation.
+    chunk_documents, size=32 stride=24): shuffle-free per-row explode —
+    the map-side op a 100 TB corpus-to-context-window pass needs."""
+    from amundsendatabuilder_spark.functions.curation import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, size=32, stride=24)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (functions/curation.decontaminate):
+    docs with doc_id % 97 == 0 act as the eval set; every other doc is
+    scored by distinct shared 5-gram shingles via a broadcast hash probe
+    of the (small) benchmark shingle set."""
+    from amundsendatabuilder_spark.functions.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench, n=5)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (functions/curation.pii_scrub): deterministic fake
+    PII (email + SSN-shaped + phone-shaped) appended to each doc, then
+    scrubbed by the JVM-side regexp_replace chain; output is the md5 of
+    the scrubbed text plus per-rule match counts, bit-identical to the
+    DuckDB RE2 oracle (patterns stay in the RE2 ∩ java.util.regex
+    common subset)."""
+    from amundsendatabuilder_spark.functions.curation import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ssn = F.concat(
+        (did % 900 + 100).cast("string"), F.lit("-"),
+        F.lpad((did % 100).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"))
+    phone = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" ph +1-"), (did % 900 + 100).cast("string"),
+                 F.lit("-555-"),
+                 F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact reader_"),
+            (did % 11).cast("string"), F.lit("@example.com ssn "),
+            ssn, phone,
+        ).alias("text"),
+    )
+    out = pii_scrub(aug)
+    return out.select(
+        "doc_id", F.md5(F.col("scrubbed")).alias("clean_md5"),
+        "n_email", "n_ssn", "n_phone")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum Bernoulli sampling (functions/curation.
+    stratified_sample): keep iff md5(salt|doc_id) mod 100 < the lang's
+    rate — stable under repartitioning and replay resume, unlike
+    df.sample's per-partition seeds.  Pure filter, no shuffle."""
+    from amundsendatabuilder_spark.functions.curation import (
+        stratified_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, strata_col="lang", rates={"en": 50, "zh": 25},
+        default_rate=10, key_col="doc_id", salt="s1",
+    ).select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_latest_event": q_lww_latest_event,
@@ -830,6 +948,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feast_columns": q_feast_columns,
         "embedding_neardup": q_embedding_neardup,
         "sessionize_events": q_sessionize_events,
+        "dedup_components": q_dedup_components,
+        "asof_signup": q_asof_signup,
+        "doc_chunks": q_doc_chunks,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
         "dashboard_search_docs": q_dashboard_search_docs,
         "user_search_docs": q_user_search_docs,
         "cdc_replay_tables": q_cdc_replay_tables,
@@ -1307,6 +1431,97 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN own_agg o USING (email)
             LEFT JOIN read_agg r USING (email)
             LEFT JOIN org g USING (email)
+        """,
+        "dedup_components": """
+            WITH RECURSIVE w AS (
+              SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS words
+              FROM documents WHERE doc_id < 500),
+            h AS (
+              SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS hv
+              FROM (SELECT doc_id, unnest(words) AS word FROM w)),
+            votes AS (
+              SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM h, (SELECT unnest(range(0, 60)) AS b) bs GROUP BY doc_id, b),
+            sim AS (
+              SELECT doc_id, sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+              FROM votes GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+            bi AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+            reach AS (
+              SELECT u AS node, v AS r FROM bi
+              UNION
+              SELECT reach.node, e.v FROM reach JOIN bi e ON reach.r = e.u)
+            SELECT node, least(node, min(r)) AS component
+            FROM reach GROUP BY node
+        """,
+        "asof_signup": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type <> 'signup'),
+                 r AS (SELECT event_id AS signup_event_id, user_id, ts
+                       FROM events WHERE event_type = 'signup')
+            SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+                   coalesce(epoch_us(r.ts), -1) AS signup_us,
+                   coalesce(r.signup_event_id, -1) AS signup_event_id
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "doc_chunks": """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents),
+            n AS (SELECT doc_id, ws,
+                         CAST(1 + ceil(greatest(len(ws) - 32, 0) / 24.0) AS BIGINT) AS nc
+                  FROM w)
+            SELECT doc_id, i AS chunk_id,
+                   len(ws[i*24+1 : i*24+32]) AS n_tokens,
+                   array_to_string(ws[i*24+1 : i*24+32], ' ') AS chunk_text
+            FROM n, LATERAL (SELECT unnest(range(0, nc)) AS i)
+        """,
+        "decontaminate": """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws)-3)]) AS shingles
+              FROM w WHERE len(ws) >= 5),
+            bench AS (
+              SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0),
+            train AS (
+              SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 <> 0)
+            SELECT doc_id, count(*) AS n_shared
+            FROM train JOIN bench USING (shingle)
+            GROUP BY 1
+        """,
+        "pii_scrub": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact reader_' || (doc_id % 11) || '@example.com ssn ' ||
+                     (100 + doc_id % 900) || '-' ||
+                     lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN ' ph +1-' || (100 + doc_id % 900) || '-555-' ||
+                               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END AS t
+              FROM documents)
+            SELECT doc_id,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                         '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+', '<EMAIL>', 'g'),
+                         '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+                         '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS clean_md5,
+                   len(regexp_extract_all(t, '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+')) AS n_email,
+                   len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+                   len(regexp_extract_all(t, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone
+            FROM aug
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST('0x' || substr(md5('s1|' || doc_id), 1, 15) AS BIGINT) % 100 <
+                  CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 25 ELSE 10 END
         """,
         "cdc_usage_rels": """
             WITH live AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 != 0),

@@ -1,0 +1,113 @@
+"""Distributed connected components — dedup-cluster canonicalization.
+
+Near-dup pair generators (``dedup.minhash_lsh_candidates``,
+``dedup.simhash_near_pairs``, ``similarity.embedding_neardup_pairs``)
+emit EDGES; turning "A~B, B~C" into "keep one doc per cluster" needs the
+transitive closure.  This module computes per-node component labels
+(the minimum node id reachable) with the alternating large-star /
+small-star algorithm of Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SOCC'14): each round is two shuffle-joins on the
+edge list, and the edge set collapses toward star graphs in
+O(log n) rounds REGARDLESS of graph diameter — unlike naive min-label
+propagation, whose round count is the diameter (fatal on chain-shaped
+dup clusters at 100 TB).  No driver-side state: the edge list stays a
+DataFrame end to end; per-round convergence is checked with a single
+count+checksum aggregate, and ``localCheckpoint`` truncates the lineage
+so round N's plan does not replay rounds 1..N-1.
+
+The reference has no graph-clustering operator (its dedup is the
+first-writer-wins set in ``databuilder/models/table_metadata.py:232-234``);
+this is one of the training-data-pipeline extensions, verified against a
+DuckDB recursive-CTE transitive-closure oracle and a hypothesis
+property test vs union-find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _digest(edges: DataFrame) -> tuple[int, int]:
+    """Cheap fixpoint check: (row count, order-independent checksum)."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))), F.lit(0)
+        ).alias("chk"),
+    ).first()
+    return int(row["n"]), int(row["chk"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to the
+    minimum of the neighborhood (incl. u).  Emitted edges point DOWN
+    (src > dst)."""
+    nbr = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = nbr.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+    return (
+        nbr.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Input edges point down (u > v).  For each node u: link u and all
+    its smaller neighbors to the minimum neighbor."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    joined = edges.join(mins, "u")
+    relink = (
+        joined.where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_link = mins.select("u", F.col("m").alias("v"))
+    return relink.unionAll(self_link).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Component label (minimum reachable node id) for every node that
+    appears in ``edges``.  Returns ``(node, component)``, one row per
+    distinct node.
+
+    Each round runs large-star then small-star (two groupBy+join passes
+    over the current edge list, both hash-partitioned on the node key —
+    AQE coalesces as the edge set shrinks) and stops when the edge set
+    reaches a fixpoint: at that point every edge is (node, root).
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _digest(e)
+    for _ in range(max_rounds):
+        e_next = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _digest(e_next)
+        e = e_next
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # Fixpoint edges are (node, root); roots only appear on the dst side.
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionAll(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .distinct()
+    )
