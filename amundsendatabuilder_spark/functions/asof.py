@@ -62,17 +62,15 @@ def asof_join(
     rts = _micros(right, right_ts)
     lts = _micros(left, left_ts)
 
-    # Collapse duplicate (key, ts) right rows deterministically.
+    # Duplicate (key, ts) right rows are collapsed deterministically by
+    # the window's tertiary sort key (max payload wins) — no extra
+    # pre-aggregation shuffle.
     r_payload = F.struct(*[F.col(c) for c in right_cols]) if right_cols else None
     r = right.select(
         F.col(key).alias("_k"),
         rts.alias("_ts"),
         *( [r_payload.alias("_pay")] if r_payload is not None else [] ),
     )
-    if r_payload is not None:
-        r = r.groupBy("_k", "_ts").agg(F.max("_pay").alias("_pay"))
-    else:
-        r = r.distinct()
 
     row_struct = F.struct(*[F.col(c) for c in left.columns])
     l = left.select(
@@ -92,10 +90,15 @@ def asof_join(
 
     u = l.unionByName(r_tagged)
     # Right rows sort BEFORE left rows at the same ts (side desc) so an
-    # exactly-simultaneous right row is visible to the left row (<=).
+    # exactly-simultaneous right row is visible to the left row (<=);
+    # among duplicate right rows at the same (key, ts) the payload sorts
+    # ascending, so last_value picks the max payload deterministically.
+    order = [F.col("_ts").asc(), F.col("_side").desc()]
+    if r_payload is not None:
+        order.append(F.col("_pay").asc_nulls_first())
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").desc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched_ts = F.last(F.when(F.col("_side") == 1, F.col("_ts")), ignorenulls=True).over(w)
