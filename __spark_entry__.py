@@ -915,6 +915,81 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Streaming sessionization (streaming/sessions.streaming_sessionize,
+    applyInPandasWithState): the event log is replayed through a real
+    checkpointed Structured-Streaming query (two availableNow drains —
+    the second adds a far-future sentinel event whose watermark flushes
+    every open session via event-time timeout), and the emitted sessions
+    must equal the batch operator's output exactly — same oracle SQL as
+    ``sessionize_events``.  The watermark delay is set to cover the whole
+    replayed history so arrival order cannot drop events; production
+    streams use a tight delay instead."""
+    import os
+    import shutil
+
+    from amundsendatabuilder_spark.streaming.sessions import (
+        streaming_sessionize,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_sess_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value")
+    ev.write.mode("overwrite").parquet(os.path.join(src, "real"))
+    bounds = ev.agg(
+        F.max(F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")).alias("mx")
+    ).first()
+    far_us = int(bounds["mx"]) + 400 * 24 * 3600 * 1_000_000  # +400 days
+    sentinel_user = -1
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long, value double")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        sessions = streaming_sessionize(
+            stream, gap_minutes=30, watermark_delay="8760 hours")
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", os.path.join(work, "out"))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    drain()  # all real events; nothing can close yet (delay spans history)
+    spark.createDataFrame(
+        [(10**9, sentinel_user, float(0))],
+        "event_id long, user_id long, value double",
+    ).select(
+        "event_id",
+        F.expr(f"make_timestamp_ntz(1970,1,1,0,0,0) + INTERVAL '{far_us}' MICROSECOND").alias("ts"),
+        "user_id", "value",
+    ).write.mode("overwrite").parquet(os.path.join(src, "sentinel"))
+    drain()  # sentinel advances the watermark; timeouts flush every session
+
+    out = spark.read.parquet(os.path.join(work, "out"))
+    result = (
+        out.where(F.col("user_id") != sentinel_user)
+        .select(
+            "user_id", "session_seq", "start_us", "end_us", "n_events",
+            F.expr("CAST(sum_cents / 100.0 AS DECIMAL(18,2))")
+                .alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_latest_event": q_lww_latest_event,
@@ -954,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
+        "streaming_sessions": q_streaming_sessions,
         "dashboard_search_docs": q_dashboard_search_docs,
         "user_search_docs": q_user_search_docs,
         "cdc_replay_tables": q_cdc_replay_tables,
@@ -1431,6 +1507,34 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN own_agg o USING (email)
             LEFT JOIN read_agg r USING (email)
             LEFT JOIN org g USING (email)
+        """,
+        "streaming_sessions": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                     CAST(value AS DECIMAL(18,2)) AS v
+              FROM events
+            ), flagged AS (
+              SELECT *,
+                     CASE WHEN lag(ts_us) OVER w IS NULL
+                            OR ts_us - lag(ts_us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            ), sess AS (
+              SELECT *,
+                     SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM flagged
+            )
+            SELECT user_id,
+                   CAST(session_seq AS BIGINT) AS session_seq,
+                   min(ts_us) AS start_us,
+                   max(ts_us) AS end_us,
+                   COUNT(*) AS n_events,
+                   SUM(v) AS sum_value
+            FROM sess
+            GROUP BY user_id, session_seq
         """,
         "dedup_components": """
             WITH RECURSIVE w AS (
