@@ -915,6 +915,43 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """End-to-end near-dup dedup: SimHash pairs → connected components →
+    one canonical doc per cluster (functions/components.
+    canonical_per_component — keep the longest member, ties to smallest
+    id).  The keep-list a curation pipeline would anti-join against."""
+    from amundsendatabuilder_spark.functions.components import (
+        canonical_per_component,
+        connected_components,
+    )
+    from amundsendatabuilder_spark.functions.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    pairs = simhash_near_pairs(d, max_hamming=1, hasher="md5",
+                               max_candidate_pairs=None)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return canonical_per_component(comp, d, prefer=["n_chars"])
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary build (functions/text.vocab_topk): top-100 terms
+    by document frequency, tie-broken by term.  Distinct-per-doc explode
+    + partial/final count; the top-k window runs on the tiny aggregated
+    term frame, not the postings."""
+    from amundsendatabuilder_spark.functions.text import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms (functions/text.tfidf_top_terms) with
+    the integer idf proxy floor(1e6 * n_docs / doc_freq) — bit-identical
+    ranking across engines (no float ln)."""
+    from amundsendatabuilder_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_streaming_sessions(spark, sf_dir):
     """Streaming sessionization (streaming/sessions.streaming_sessionize,
     applyInPandasWithState): the event log is replayed through a real
@@ -1030,6 +1067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
         "streaming_sessions": q_streaming_sessions,
+        "dedup_canonical": q_dedup_canonical,
+        "vocab_topk": q_vocab_topk,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "dashboard_search_docs": q_dashboard_search_docs,
         "user_search_docs": q_user_search_docs,
         "cdc_replay_tables": q_cdc_replay_tables,
@@ -1508,6 +1548,32 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN read_agg r USING (email)
             LEFT JOIN org g USING (email)
         """,
+        "vocab_topk": """
+            WITH w AS (SELECT doc_id,
+                              list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ws
+                       FROM documents),
+            t AS (SELECT unnest(ws) AS term FROM w),
+            c AS (SELECT term, count(*) AS doc_freq FROM t GROUP BY 1),
+            r AS (SELECT term, doc_freq,
+                         row_number() OVER (ORDER BY doc_freq DESC, term ASC) AS rank
+                  FROM c)
+            SELECT term, doc_freq, rank FROM r WHERE rank <= 100
+        """,
+        "tfidf_top_terms": """
+            WITH p AS (SELECT doc_id,
+                              unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+                       FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM p GROUP BY 1, 2),
+            dfq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM p GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+            s AS (SELECT doc_id, term, tf,
+                         tf * CAST(floor(1000000.0 * nd / doc_freq) AS BIGINT) AS score
+                  FROM tf JOIN dfq USING (term), n),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+                  FROM s)
+            SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 3
+        """,
         "streaming_sessions": """
             WITH e AS (
               SELECT user_id, epoch_us(ts) AS ts_us, event_id,
@@ -1560,6 +1626,44 @@ def oracle_sql() -> dict[str, str]:
               SELECT reach.node, e.v FROM reach JOIN bi e ON reach.r = e.u)
             SELECT node, least(node, min(r)) AS component
             FROM reach GROUP BY node
+        """,
+        "dedup_canonical": """
+            WITH RECURSIVE w AS (
+              SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS words
+              FROM documents WHERE doc_id < 500),
+            h AS (
+              SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS hv
+              FROM (SELECT doc_id, unnest(words) AS word FROM w)),
+            votes AS (
+              SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM h, (SELECT unnest(range(0, 60)) AS b) bs GROUP BY doc_id, b),
+            sim AS (
+              SELECT doc_id, sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+              FROM votes GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+            bi AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+            reach AS (
+              SELECT u AS node, v AS r FROM bi
+              UNION
+              SELECT reach.node, e.v FROM reach JOIN bi e ON reach.r = e.u),
+            comp AS (
+              SELECT node, least(node, min(r)) AS component
+              FROM reach GROUP BY node),
+            j AS (
+              SELECT c.component, c.node, d.n_chars
+              FROM comp c JOIN documents d ON d.doc_id = c.node),
+            ranked AS (
+              SELECT component, node,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY n_chars DESC, node ASC) AS rn
+              FROM j)
+            SELECT component,
+                   max(CASE WHEN rn = 1 THEN node END) AS canonical_id,
+                   count(*) AS n_docs
+            FROM ranked GROUP BY component
         """,
         "asof_signup": """
             WITH l AS (SELECT event_id, user_id, ts FROM events

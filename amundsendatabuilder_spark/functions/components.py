@@ -111,3 +111,36 @@ def connected_components(
         .unionAll(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
         .distinct()
     )
+
+
+def canonical_per_component(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    prefer: list[str] | None = None,
+) -> DataFrame:
+    """Pick ONE canonical document per dedup cluster: the member ranking
+    highest on ``prefer`` (descending, e.g. ``["n_chars"]`` = keep the
+    longest), ties broken by smallest id.  Returns
+    ``(component, canonical_id, n_docs)`` — the keep-list a dedup
+    pipeline joins back against to drop the rest.
+
+    One hash join (components ⋈ docs on the id) and one window over the
+    component key; cluster sizes are tiny after near-dup blocking, so
+    the window never sees skewed partitions.
+    """
+    from pyspark.sql import Window
+
+    prefer = prefer or []
+    joined = components.join(
+        docs.select(F.col(id_col).alias("node"), *prefer), "node")
+    w = Window.partitionBy("component").orderBy(
+        *[F.col(c).desc() for c in prefer], F.col("node").asc())
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("node"))).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )

@@ -8,7 +8,7 @@ reproduce it exactly — determinism is part of the operator contract.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # language → discriminative stopwords (heuristic n-gram/lexicon language-ID)
@@ -125,4 +125,70 @@ def word_shingles(text: Column, n: int = 3) -> Column:
                 lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
             )
         )
+    )
+
+
+def vocab_topk(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus vocabulary: the ``k`` terms with the highest document
+    frequency, deterministically tie-broken by term.  Returns
+    ``(term, doc_freq, rank)``.
+
+    Scale shape: per-doc DISTINCT terms (map-side, inside the explode),
+    a partial+final hash count over terms, then top-k via ONE window on
+    a single ordering — at corpus scale the term-count frame is tiny
+    relative to the corpus, so the final rank stage is a cheap single
+    partition of the already-aggregated counts (never of the raw
+    postings)."""
+    terms = df.select(
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).alias("term")
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("term", "doc_freq", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3,
+                    idf_scale: int = 1_000_000) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF, with an INTEGER idf proxy
+    (``floor(idf_scale * n_docs / doc_freq)``) so the score — and thus
+    the ranking — is bit-identical across engines (a float ``ln`` would
+    differ in the last ulp between libm implementations).  Ties break by
+    term.  Returns ``(id, term, tf, score, rank)``.
+
+    Scale shape: one shuffle to count (doc, term) pairs, one partial+
+    final count for document frequency, a broadcast-sized term-frequency
+    join when the vocabulary is small (Catalyst/AQE picks it), and the
+    per-doc top-k window partitioned by doc — no global sort."""
+    n_docs = df.select(id_col).distinct().count()
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        pairs.select(id_col, "term").distinct()
+        .groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    idf = F.floor(F.lit(idf_scale) * F.lit(n_docs) / F.col("doc_freq"))
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col), "term", "tf",
+        (F.col("tf") * idf).cast("long").alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col(id_col), "term", "tf", "score",
+                F.col("rank").cast("long").alias("rank"))
     )

@@ -21,7 +21,8 @@ Methodology (r2 + r3; full dossier in BENCH.md):
   burstable: identical runs vary up to 5x with time of day);
 * all work dirs on /dev/shm (the real disk is IO-credit throttled);
 * final-state digests must be bit-identical across parallelism levels;
-* TWO pairs are measured (default 2->8 and 1->4 cores) and each arm's
+* the designated pair is measured (default 1->4 cores; extra pairs via
+  SPARK_GRAFT_BENCH_PAIRS) and each arm's
   event log is parsed for exec-CPU and utilization, giving the exact
   factorization eff = substrate_cpu_ratio x engine_parallel_efficiency:
   per-task CPU-seconds of the identical task set inflate ~1.6x from 2->8
@@ -46,10 +47,19 @@ host's per-task CPU inflation plus one-wave stages collapse utilization to
 ~0.25 (raw eff 0.29) — the evidence lives in BENCH.md.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_EVENTS (default 8_000_000),
-SPARK_GRAFT_BENCH_CHUNKS (4), SPARK_GRAFT_BENCH_ROUNDS (2),
-SPARK_GRAFT_BENCH_PAIRS (default "1:4,2:8"; first = headline),
-SPARK_GRAFT_BENCH_BUDGET_SEC (default 1800: skip later rounds when exceeded).
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_EVENTS (default 6_000_000),
+SPARK_GRAFT_BENCH_CHUNKS (4), SPARK_GRAFT_BENCH_ROUNDS (3),
+SPARK_GRAFT_BENCH_PAIRS (default "1:4"; first = headline),
+SPARK_GRAFT_BENCH_BUDGET_SEC (default 2000: skip later rounds when exceeded).
+
+r4 variance defense: defaults sized so at least TWO full rounds fit the
+budget and the headline takes per-arm MINIMA across rounds — the r4-run3
+artifact (BENCH_LOCAL_r04_run3.json) shows why one round is not enough:
+a substrate window inflated the 4-core arm's per-task CPU 2.2x (exec-CPU
+989 -> 2174 s for the identical task set) while the 1-core arm ran fast,
+reading raw 0.40 on a pair whose replicated good-window value is
+0.82-0.83. Each arm now also records a same-moment single-thread CPU
+probe (pre_probe_miters_1t) tagging the host window it ran in.
 """
 
 from __future__ import annotations
@@ -66,11 +76,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "6000000"))
 N_CHUNKS = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNKS", "4"))
-N_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
-PAIRS_SPEC = os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "1:4,2:8")
-BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1800"))
+N_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+PAIRS_SPEC = os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "1:4")
+BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2000"))
 DETAIL_FILE = os.environ.get(
     "SPARK_GRAFT_BENCH_DETAIL",
     os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -93,6 +103,9 @@ HEADLINE_QUERIES = [
     "minhash_lsh",
     "embedding_topk",
     "text_quality",
+    "asof_signup",
+    "doc_chunks",
+    "dedup_components",
     "cdc_replay_tables",
 ]
 
@@ -352,8 +365,14 @@ def main() -> None:
             _log(f"budget {BUDGET}s exceeded; stopping after round {r}")
             break
         for cores in sorted({c for pr in pair_specs for c in pr}):
+            # same-moment host probe: single-thread CPU rate right before
+            # the arm, so each wall sample carries a tag of the substrate
+            # window it ran in (the r4-run3 artifact shows a 2.2x per-task
+            # CPU inflation window hitting ONE arm of a pair)
+            probe = _cpu_probe(1, 8_000_000)
             res = run_arm(cores, chunks, warm_chunks)
             res["cores"] = cores
+            res["pre_probe_miters_1t"] = probe
             runs.setdefault(cores, []).append(res)
             _log(f"replay {cores} cores: {res['wall']}s "
                  f"({N_EVENTS/res['wall']:.0f} ev/s, cpu_util {res.get('cpu_util')})")
@@ -391,6 +410,8 @@ def main() -> None:
             "digests_match": small["digest"] == big["digest"],
             "wall_samples_N": [x["wall"] for x in runs[nc]],
             "wall_samples_4N": [x["wall"] for x in runs[n4c]],
+            "probe_miters_N": [x.get("pre_probe_miters_1t") for x in runs[nc]],
+            "probe_miters_4N": [x.get("pre_probe_miters_1t") for x in runs[n4c]],
         }
 
     pairs = {f"{a}to{b}": pair_result(a, b) for a, b in pair_specs}

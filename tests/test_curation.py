@@ -216,3 +216,94 @@ def test_asof_join_tolerance_and_tie(spark):
     assert out[1]["v_r"] == "same-instant"
     # 50s - 11s = 39s > 5s tolerance -> voided
     assert out[2]["v_r"] is None and out[2]["ts_r"] is None
+
+
+# ---------------------------------------------------------------------------
+# vocab / tf-idf
+# ---------------------------------------------------------------------------
+
+def test_vocab_topk_counts_docs_not_occurrences(spark):
+    from amundsendatabuilder_spark.functions.text import vocab_topk
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="apple apple apple banana"),
+        Row(doc_id=2, text="apple cherry"),
+        Row(doc_id=3, text="cherry banana cherry"),
+    ])
+    rows = {r["term"]: (r["doc_freq"], r["rank"])
+            for r in vocab_topk(df, k=10).collect()}
+    # doc_freq is per-document (distinct), not occurrences
+    assert rows["apple"] == (2, 1)      # ties on 2 break by term asc
+    assert rows["banana"] == (2, 2)
+    assert rows["cherry"] == (2, 3)
+
+
+def test_tfidf_top_terms_rank_and_score(spark):
+    from amundsendatabuilder_spark.functions.text import tfidf_top_terms
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="rare common common"),
+        Row(doc_id=2, text="common"),
+    ])
+    rows = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score"])
+            for r in tfidf_top_terms(df, k=2).collect()}
+    # doc1: 'rare' df=1 -> idf 2_000_000, tf 1 -> 2_000_000
+    #       'common' df=2 -> idf 1_000_000, tf 2 -> 2_000_000; tie -> term asc
+    assert rows[(1, 1)] == ("common", 2, 2_000_000)
+    assert rows[(1, 2)] == ("rare", 1, 2_000_000)
+    assert rows[(2, 1)] == ("common", 1, 1_000_000)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Cross-check vs pandas.merge_asof, the de-facto reference for as-of
+    semantics (backward direction, <= match)."""
+    import pandas as pd
+
+    rng = random.Random(99)
+    left = pd.DataFrame({
+        "user_id": [rng.randrange(4) for _ in range(120)],
+        "ts_us": [rng.randrange(50) * 2_000_000 for _ in range(120)],
+        "event_id": list(range(120)),
+    })
+    # unique (user, ts) on the right: merge_asof picks the last duplicate,
+    # our operator the max payload — dedupe to keep the comparison exact
+    right = pd.DataFrame({
+        "user_id": [rng.randrange(4) for _ in range(40)],
+        "ts_us": [rng.randrange(50) * 2_000_000 for _ in range(40)],
+        "r_id": [1000 + i for i in range(40)],
+    }).groupby(["user_id", "ts_us"], as_index=False).agg({"r_id": "max"})
+
+    exp = pd.merge_asof(
+        left.assign(ts=pd.to_datetime(left.ts_us, unit="us")).sort_values("ts"),
+        right.assign(ts=pd.to_datetime(right.ts_us, unit="us")).sort_values("ts"),
+        on="ts", by="user_id", direction="backward",
+    )
+    exp_map = {int(r.event_id): (None if pd.isna(r.r_id) else int(r.r_id))
+               for r in exp.itertuples()}
+
+    ldf = spark.createDataFrame(left).select(
+        "user_id", F.timestamp_micros("ts_us").alias("ts"), "event_id")
+    rdf = spark.createDataFrame(right).select(
+        "user_id", F.timestamp_micros("ts_us").alias("ts"), "r_id")
+    got = {r["event_id"]: r["r_id_r"]
+           for r in asof_join(ldf, rdf, key="user_id",
+                              right_cols=["r_id"]).collect()}
+    assert got == exp_map
+
+
+def test_canonical_per_component(spark):
+    from amundsendatabuilder_spark.functions.components import (
+        canonical_per_component,
+    )
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        ["node", "component"])
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (10, 5), (11, 5)],
+        ["doc_id", "n_chars"])
+    got = {r["component"]: (r["canonical_id"], r["n_docs"])
+           for r in canonical_per_component(comp, docs,
+                                            prefer=["n_chars"]).collect()}
+    # longest wins; equal length -> smallest id (2 over 3, 10 over 11)
+    assert got == {1: (2, 3), 10: (10, 2)}
