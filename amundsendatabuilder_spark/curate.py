@@ -1,0 +1,120 @@
+"""Corpus curation pipeline — the training-data path composed end to end.
+
+One call chains the curation operators the way a 100 TB pre-training
+sweep would: exact dedup → SimHash near-dup clustering → canonical-doc
+selection → benchmark decontamination → PII scrubbing → quality/lang
+annotation → deterministic stratified sampling.  Reachable from
+spark-submit via ``python -m amundsendatabuilder_spark.job --curate``.
+
+Composition notes (scale): every stage is a DataFrame transformation on
+the running corpus frame — Catalyst fuses the scrub/annotate/sample
+stages into the same scan pass; the only shuffles are the dedup
+aggregations, the near-dup candidate join, and the keep-list
+anti-joins (broadcast when small).  Drop decisions are all
+deterministic functions of content, so a resumed or re-run curation
+over the same snapshot emits the identical corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 1,
+    contamination_ngram: int = 5,
+    sample_rates: dict[str, int] | None = None,
+    sample_default_rate: int | None = None,
+    max_candidate_pairs: int | None = 100_000_000,
+) -> tuple[DataFrame, dict]:
+    """Run the full curation chain; returns ``(curated_frame, metrics)``.
+
+    Metrics count what each stage removed — a curation run that silently
+    caps or drops is not auditable, so every reduction is reported.
+    """
+    from amundsendatabuilder_spark.functions.components import (
+        canonical_per_component,
+        connected_components,
+    )
+    from amundsendatabuilder_spark.functions.curation import (
+        decontaminate,
+        pii_scrub,
+        stratified_sample,
+    )
+    from amundsendatabuilder_spark.functions.dedup import simhash_near_pairs
+    from amundsendatabuilder_spark.functions.text import (
+        doc_fingerprint,
+        lang_id,
+        quality_score,
+    )
+
+    metrics: dict = {"input_docs": docs.count()}
+
+    # 1. exact dedup: keep the smallest id per content fingerprint
+    fp = docs.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("_fp"))
+    keep_exact = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    cur = docs.join(keep_exact.select(id_col), id_col, "semi")
+    metrics["exact_dup_dropped"] = metrics["input_docs"] - cur.count()
+
+    # 2. near-dup clusters -> one canonical member each
+    pairs = simhash_near_pairs(
+        cur, id_col=id_col, text_col=text_col, max_hamming=max_hamming,
+        max_candidate_pairs=max_candidate_pairs)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    prefer = ["n_chars"] if "n_chars" in cur.columns else []
+    canon = canonical_per_component(comp, cur, id_col=id_col, prefer=prefer)
+    drop_near = comp.join(
+        canon.select(F.col("canonical_id").alias("node")), "node", "anti")
+    cur = cur.join(drop_near.select(F.col("node").alias(id_col)),
+                   id_col, "anti")
+    before = metrics["input_docs"] - metrics["exact_dup_dropped"]
+    metrics["near_dup_dropped"] = before - cur.count()
+
+    # 3. benchmark decontamination (drop any doc sharing a shingle)
+    if benchmark is not None:
+        contaminated = decontaminate(
+            cur, benchmark, id_col=id_col, text_col=text_col,
+            n=contamination_ngram)
+        cur = cur.join(contaminated.select(id_col), id_col, "anti")
+        metrics["contaminated_dropped"] = int(contaminated.count())
+
+    # 4. PII scrub (text replaced by the redacted form) + counts
+    scrubbed = pii_scrub(cur, id_col=id_col, text_col=text_col)
+    redactions = scrubbed.agg(
+        F.sum("n_email").alias("e"), F.sum("n_ssn").alias("s"),
+        F.sum("n_phone").alias("p")).first()
+    metrics["pii_redactions"] = {
+        "email": int(redactions["e"] or 0),
+        "ssn": int(redactions["s"] or 0),
+        "phone": int(redactions["p"] or 0),
+    }
+    cur = (
+        cur.drop(text_col)
+        .join(scrubbed.select(id_col, F.col("scrubbed").alias(text_col)),
+              id_col)
+    )
+
+    # 5. annotate quality + language (pure column expressions)
+    cur = cur.withColumn("quality", quality_score(F.col(text_col))) \
+             .withColumn("lang_pred", lang_id(F.col(text_col)))
+
+    # 6. deterministic stratified sampling (optional)
+    if sample_rates or sample_default_rate is not None:
+        n_before = cur.count()
+        cur = stratified_sample(
+            cur,
+            strata_col="lang_pred",
+            rates=sample_rates or {},
+            default_rate=(100 if sample_default_rate is None
+                          else sample_default_rate),
+            key_col=id_col,
+        )
+        metrics["sampled_out"] = n_before - cur.count()
+
+    metrics["output_docs"] = cur.count()
+    return cur, metrics

@@ -47,6 +47,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--catalog-schemas", default="",
                    help="comma-separated schema allowlist for --catalog-scan")
     p.add_argument("--catalog-database", default="delta")
+    p.add_argument("--curate", action="store_true",
+                   help="run the corpus-curation chain (exact dedup ->"
+                        " near-dup clusters -> canonical keep -> decontam"
+                        " -> PII scrub -> quality/lang -> sample) over"
+                        " --docs, writing --output")
+    p.add_argument("--docs", help="documents parquet for --curate")
+    p.add_argument("--benchmark",
+                   help="optional benchmark parquet for decontamination")
+    p.add_argument("--output", help="curated-corpus output dir for --curate")
+    p.add_argument("--sample-rates", default="",
+                   help='JSON dict of per-language percentage rates,'
+                        ' e.g. {"en": 50}')
+    p.add_argument("--max-hamming", type=int, default=1,
+                   help="SimHash near-dup threshold for --curate")
     p.add_argument("--no-fs-probe", action="store_true",
                    help="skip the filesystem mtime probe for tables whose"
                         " catalog detail carries no lastModified")
@@ -62,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
                 setattr(args, key, pconf.get(key, getattr(args, key)))
         if args.buckets == p.get_default("buckets"):
             args.buckets = int(pconf.get("buckets", args.buckets))
-    if not args.warehouse:
+    if not args.warehouse and not args.curate:
         p.error("--warehouse (or pipeline.warehouse in --conf) is required")
 
     from pyspark.sql import SparkSession
@@ -83,6 +97,23 @@ def main(argv: list[str] | None = None) -> int:
     from amundsendatabuilder_spark.streaming.pipeline import CDCPipeline
 
     with closer:
+        if args.curate:
+            if not (args.docs and args.output):
+                p.error("--curate requires --docs and --output")
+            from amundsendatabuilder_spark.curate import curate_corpus
+
+            docs = spark.read.parquet(args.docs)
+            bench = (spark.read.parquet(args.benchmark)
+                     if args.benchmark else None)
+            rates = json.loads(args.sample_rates) if args.sample_rates else None
+            curated, metrics = curate_corpus(
+                docs, benchmark=bench, max_hamming=args.max_hamming,
+                sample_rates=rates,
+            )
+            curated.write.mode("overwrite").parquet(args.output)
+            metrics["output"] = args.output
+            print(json.dumps(metrics, default=str))
+            return 0
         if args.generate:
             paths = write_changelog_chunks(
                 spark, args.source, args.generate, args.chunks
