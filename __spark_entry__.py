@@ -1000,7 +1000,11 @@ def q_streaming_sessions(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "streaming_sessions drain did not finish within 600s — "
+                "refusing to read a partially-written result")
 
     drain()  # all real events; nothing can close yet (delay spans history)
     spark.createDataFrame(

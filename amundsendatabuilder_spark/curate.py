@@ -43,7 +43,7 @@ def curate_corpus(
     )
     from amundsendatabuilder_spark.functions.curation import (
         decontaminate,
-        pii_scrub,
+        pii_scrub_cols,
         stratified_sample,
     )
     from amundsendatabuilder_spark.functions.dedup import simhash_near_pairs
@@ -53,12 +53,19 @@ def curate_corpus(
         quality_score,
     )
 
+    def _mat(frame: DataFrame) -> DataFrame:
+        # materialize at stage boundaries: each stage's metrics count()
+        # and the next stage both read the materialized result instead
+        # of replaying the whole lineage from the parquet scan
+        return frame.localCheckpoint(eager=True)
+
+    docs = _mat(docs)
     metrics: dict = {"input_docs": docs.count()}
 
     # 1. exact dedup: keep the smallest id per content fingerprint
     fp = docs.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("_fp"))
     keep_exact = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    cur = docs.join(keep_exact.select(id_col), id_col, "semi")
+    cur = _mat(docs.join(keep_exact.select(id_col), id_col, "semi"))
     metrics["exact_dup_dropped"] = metrics["input_docs"] - cur.count()
 
     # 2. near-dup clusters -> one canonical member each
@@ -70,22 +77,30 @@ def curate_corpus(
     canon = canonical_per_component(comp, cur, id_col=id_col, prefer=prefer)
     drop_near = comp.join(
         canon.select(F.col("canonical_id").alias("node")), "node", "anti")
-    cur = cur.join(drop_near.select(F.col("node").alias(id_col)),
-                   id_col, "anti")
+    cur = _mat(cur.join(drop_near.select(F.col("node").alias(id_col)),
+                        id_col, "anti"))
     before = metrics["input_docs"] - metrics["exact_dup_dropped"]
     metrics["near_dup_dropped"] = before - cur.count()
 
     # 3. benchmark decontamination (drop any doc sharing a shingle)
     if benchmark is not None:
-        contaminated = decontaminate(
+        contaminated = _mat(decontaminate(
             cur, benchmark, id_col=id_col, text_col=text_col,
-            n=contamination_ngram)
+            n=contamination_ngram))
         cur = cur.join(contaminated.select(id_col), id_col, "anti")
         metrics["contaminated_dropped"] = int(contaminated.count())
 
-    # 4. PII scrub (text replaced by the redacted form) + counts
-    scrubbed = pii_scrub(cur, id_col=id_col, text_col=text_col)
-    redactions = scrubbed.agg(
+    # 4.+5. PII scrub IN PLACE (text replaced by the redacted form) and
+    # quality/language annotation — one fused scan pass, no self-join
+    scrub_col, count_cols = pii_scrub_cols(text_col)
+    cur = _mat(
+        cur.select(
+            *[c for c in cur.columns if c != text_col],
+            scrub_col.alias(text_col),
+            *count_cols,
+        )
+    )
+    redactions = cur.agg(
         F.sum("n_email").alias("e"), F.sum("n_ssn").alias("s"),
         F.sum("n_phone").alias("p")).first()
     metrics["pii_redactions"] = {
@@ -94,17 +109,14 @@ def curate_corpus(
         "phone": int(redactions["p"] or 0),
     }
     cur = (
-        cur.drop(text_col)
-        .join(scrubbed.select(id_col, F.col("scrubbed").alias(text_col)),
-              id_col)
+        cur.drop("n_email", "n_ssn", "n_phone")
+        .withColumn("quality", quality_score(F.col(text_col)))
+        .withColumn("lang_pred", lang_id(F.col(text_col)))
     )
-
-    # 5. annotate quality + language (pure column expressions)
-    cur = cur.withColumn("quality", quality_score(F.col(text_col))) \
-             .withColumn("lang_pred", lang_id(F.col(text_col)))
 
     # 6. deterministic stratified sampling (optional)
     if sample_rates or sample_default_rate is not None:
+        cur = _mat(cur)
         n_before = cur.count()
         cur = stratified_sample(
             cur,
@@ -116,5 +128,6 @@ def curate_corpus(
         )
         metrics["sampled_out"] = n_before - cur.count()
 
+    cur = _mat(cur)
     metrics["output_docs"] = cur.count()
     return cur, metrics

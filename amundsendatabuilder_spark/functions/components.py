@@ -84,9 +84,18 @@ def connected_components(
     AQE coalesces as the edge set shrinks) and stops when the edge set
     reaches a fixpoint: at that point every edge is (node, root).
     """
+    src_t = edges.schema[src].dataType
+    dst_t = edges.schema[dst].dataType
+    if src_t != dst_t:
+        # a silent cast here would NULL out unparseable ids and make the
+        # whole dedup a no-op — fail loudly instead (string/UUID ids work
+        # fine: the algorithm only needs an ordering on node ids)
+        raise TypeError(
+            f"connected_components: src/dst types differ ({src_t} vs "
+            f"{dst_t}); cast them to a common orderable type first"
+        )
     e = (
-        edges.select(F.col(src).cast("long").alias("u"),
-                     F.col(dst).cast("long").alias("v"))
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))

@@ -114,6 +114,20 @@ PII_RULES: list[tuple[str, str, str]] = [
 ]
 
 
+def pii_scrub_cols(text_col: str = "text") -> tuple[Column, list[Column]]:
+    """Column-expression form of the PII scrub: returns the scrubbed-text
+    column plus the per-rule match-count columns (aliased ``n_<rule>``),
+    for callers that apply the redaction IN PLACE — Catalyst fuses the
+    whole chain into the surrounding scan, no join or shuffle."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_RULES:
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat))
+                      .cast("long").alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return scrubbed, counts
+
+
 def pii_scrub(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -126,12 +140,7 @@ def pii_scrub(
     RE2 ∩ java.util.regex common subset so the same rules run verbatim
     on engines that compile to either (and in the DuckDB oracle).
     """
-    scrubbed = F.col(text_col)
-    counts = []
-    for name, pat, repl in PII_RULES:
-        counts.append(F.regexp_count(F.col(text_col), F.lit(pat))
-                      .cast("long").alias(f"n_{name}"))
-        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    scrubbed, counts = pii_scrub_cols(text_col)
     return df.select(F.col(id_col), scrubbed.alias("scrubbed"), *counts)
 
 

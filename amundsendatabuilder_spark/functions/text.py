@@ -128,29 +128,29 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def vocab_topk(df: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text", k: int = 100) -> DataFrame:
+def vocab_topk(df: DataFrame, text_col: str = "text",
+               k: int = 100) -> DataFrame:
     """Corpus vocabulary: the ``k`` terms with the highest document
-    frequency, deterministically tie-broken by term.  Returns
-    ``(term, doc_freq, rank)``.
+    frequency (one row per document assumed), deterministically
+    tie-broken by term.  Returns ``(term, doc_freq, rank)``.
 
     Scale shape: per-doc DISTINCT terms (map-side, inside the explode),
-    a partial+final hash count over terms, then top-k via ONE window on
-    a single ordering — at corpus scale the term-count frame is tiny
-    relative to the corpus, so the final rank stage is a cheap single
-    partition of the already-aggregated counts (never of the raw
-    postings)."""
+    a partial+final hash count over terms, then top-k as a distributed
+    ``TakeOrderedAndProject`` (``orderBy().limit(k)`` — each partition
+    contributes only its own top ``k``, never a global single-partition
+    sort of the full vocabulary, which at web scale is billions of
+    distinct tokens).  The rank window then runs on the k-row result."""
     terms = df.select(
         F.explode(
             F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
         ).alias("term")
     )
     counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    topk = counts.orderBy(F.col("doc_freq").desc(), F.col("term").asc()).limit(k)
     w = Window.orderBy(F.col("doc_freq").desc(), F.col("term").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("term", "doc_freq", F.col("rank").cast("long").alias("rank"))
+    return topk.select(
+        "term", "doc_freq",
+        F.row_number().over(w).cast("long").alias("rank"),
     )
 
 

@@ -22,9 +22,13 @@ State per user: the next session sequence number plus the open-session
 interval list (bounded by the watermark delay ÷ gap, typically a
 handful).  An event-time timeout is registered at the earliest moment
 the oldest open session could close, so sessions flush even for users
-who never send another event — the state store stays O(active users in
-the gap window), the property that makes this run indefinitely on an
-unbounded 100 TB/day stream.
+who never send another event; once a user has no open sessions their
+state row (just the next session number) survives ``idle_ttl_minutes``
+of event time and is then REMOVED — the store stays O(users active
+within the idle TTL), the property that makes this run indefinitely on
+an unbounded 100 TB/day stream.  A user returning after TTL expiry
+restarts at ``session_seq`` 1 (documented trade: global per-user
+numbering forever would require unbounded state).
 """
 
 from __future__ import annotations
@@ -78,7 +82,7 @@ def _merge_intervals(
     return out
 
 
-def _make_session_fn(gap_us: int):
+def _make_session_fn(gap_us: int, idle_ttl_ms: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -93,11 +97,17 @@ def _make_session_fn(gap_us: int):
             next_seq, open_sessions = 1, []
 
         if not state.hasTimedOut:
+            import numpy as np
+
             for pdf in pdfs:
                 if len(pdf) == 0:
                     continue
                 ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
-                vals = (pdf["value"].astype("float64") * 100).round().astype("int64")
+                # HALF-AWAY-FROM-ZERO, matching Spark's decimal(18,2)
+                # cast in the batch operator (numpy .round() is
+                # half-to-even and would drift by a cent on e.g. 0.125)
+                v = pdf["value"].astype("float64").values
+                vals = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype("int64")
                 for t, c in zip(ts_us.tolist(), vals.tolist()):
                     open_sessions.append([int(t), int(t), 1, int(c)])
             open_sessions = _merge_intervals(open_sessions, gap_us)
@@ -115,18 +125,31 @@ def _make_session_fn(gap_us: int):
             rows.append((user_id, next_seq, s[0], s[1], s[2], s[3]))
             next_seq += 1
 
-        state.update((
-            next_seq,
-            [s[0] for s in open_sessions],
-            [s[1] for s in open_sessions],
-            [s[2] for s in open_sessions],
-            [s[3] for s in open_sessions],
-        ))
-        if open_sessions:
-            # earliest instant the oldest open session could close
-            state.setTimeoutTimestamp(
-                min(s[1] for s in open_sessions) // 1000 + gap_us // 1000 + 1
-            )
+        if not open_sessions and state.hasTimedOut and not rows:
+            # pure idle-ttl expiry (no session just flushed): drop the
+            # state row entirely
+            # so the store stays O(users active within idle_ttl) — the
+            # user's session_seq restarts at 1 if they ever return
+            state.remove()
+        else:
+            state.update((
+                next_seq,
+                [s[0] for s in open_sessions],
+                [s[1] for s in open_sessions],
+                [s[2] for s in open_sessions],
+                [s[3] for s in open_sessions],
+            ))
+            if open_sessions:
+                # earliest instant the oldest open session could close
+                state.setTimeoutTimestamp(
+                    min(s[1] for s in open_sessions) // 1000
+                    + gap_us // 1000 + 1
+                )
+            else:
+                # nothing open: keep next_seq for idle_ttl, then expire
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + idle_ttl_ms
+                )
         if rows:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in OUTPUT_SCHEMA.fields]
@@ -142,6 +165,7 @@ def streaming_sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    idle_ttl_minutes: int = 7 * 24 * 60,
 ) -> DataFrame:
     """Sessionize a STREAMING event frame (append-mode output).
 
@@ -169,7 +193,7 @@ def streaming_sessionize(
         )
         .groupBy("user_id")
         .applyInPandasWithState(
-            _make_session_fn(gap_us),
+            _make_session_fn(gap_us, int(idle_ttl_minutes) * 60_000),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
