@@ -915,6 +915,19 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_column_profile(spark, sf_dir):
+    """Spark-native column profiling (sources/profiler.profile_columns):
+    min/max/null_count/distinct_count for three documents columns in ONE
+    aggregation pass, emitted in the reference's TableColumnStats shape
+    (table_stats.py:11-106) ready for the Stat-node contract."""
+    from amundsendatabuilder_spark.sources.profiler import profile_columns
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_columns(
+        d, ["lang", "source", "n_chars"],
+        db="repofs", cluster="gold", schema="docs", table_name="documents")
+
+
 def q_dedup_canonical(spark, sf_dir):
     """End-to-end near-dup dedup: SimHash pairs → connected components →
     one canonical doc per cluster (functions/components.
@@ -1071,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
         "streaming_sessions": q_streaming_sessions,
+        "column_profile": q_column_profile,
         "dedup_canonical": q_dedup_canonical,
         "vocab_topk": q_vocab_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1630,6 +1644,32 @@ def oracle_sql() -> dict[str, str]:
               SELECT reach.node, e.v FROM reach JOIN bi e ON reach.r = e.u)
             SELECT node, least(node, min(r)) AS component
             FROM reach GROUP BY node
+        """,
+        "column_profile": """
+            WITH stats AS (
+              SELECT 'lang' AS col_name, 'min' AS stat_name,
+                     CAST(min(lang) AS VARCHAR) AS stat_val FROM documents
+              UNION ALL SELECT 'lang', 'max', CAST(max(lang) AS VARCHAR) FROM documents
+              UNION ALL SELECT 'lang', 'null_count',
+                     CAST(count(*) - count(lang) AS VARCHAR) FROM documents
+              UNION ALL SELECT 'lang', 'distinct_count',
+                     CAST(count(DISTINCT lang) AS VARCHAR) FROM documents
+              UNION ALL SELECT 'source', 'min', CAST(min(source) AS VARCHAR) FROM documents
+              UNION ALL SELECT 'source', 'max', CAST(max(source) AS VARCHAR) FROM documents
+              UNION ALL SELECT 'source', 'null_count',
+                     CAST(count(*) - count(source) AS VARCHAR) FROM documents
+              UNION ALL SELECT 'source', 'distinct_count',
+                     CAST(count(DISTINCT source) AS VARCHAR) FROM documents
+              UNION ALL SELECT 'n_chars', 'min', CAST(min(n_chars) AS VARCHAR) FROM documents
+              UNION ALL SELECT 'n_chars', 'max', CAST(max(n_chars) AS VARCHAR) FROM documents
+              UNION ALL SELECT 'n_chars', 'null_count',
+                     CAST(count(*) - count(n_chars) AS VARCHAR) FROM documents
+              UNION ALL SELECT 'n_chars', 'distinct_count',
+                     CAST(count(DISTINCT n_chars) AS VARCHAR) FROM documents)
+            SELECT 'repofs' AS db, 'gold' AS cluster, 'docs' AS schema,
+                   'documents' AS table_name, col_name, stat_name, stat_val,
+                   '0' AS start_epoch, '0' AS end_epoch
+            FROM stats
         """,
         "dedup_canonical": """
             WITH RECURSIVE w AS (

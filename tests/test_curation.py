@@ -307,3 +307,27 @@ def test_canonical_per_component(spark):
                                             prefer=["n_chars"]).collect()}
     # longest wins; equal length -> smallest id (2 over 3, 10 over 11)
     assert got == {1: (2, 3), 10: (10, 2)}
+
+
+def test_profile_columns_into_stat_nodes(spark):
+    """Profiler output feeds the TableColumnStats contract directly."""
+    from amundsendatabuilder_spark.operators import amundsen_models as am
+    from amundsendatabuilder_spark.sources.profiler import profile_columns
+
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=3, b=None), Row(a=None, b="x")])
+    stats = profile_columns(df, ["a", "b"], db="hive", cluster="gold",
+                            schema="s", table_name="t", epoch=7)
+    got = {(r["col_name"], r["stat_name"]): r["stat_val"]
+           for r in stats.collect()}
+    assert got == {
+        ("a", "min"): "1", ("a", "max"): "3",
+        ("a", "null_count"): "1", ("a", "distinct_count"): "2",
+        ("b", "min"): "x", ("b", "max"): "x",
+        ("b", "null_count"): "1", ("b", "distinct_count"): "1",
+    }
+    nodes = {r["key"] for r in am.table_column_stats_nodes(stats).collect()}
+    assert "hive://gold.s/t/a/min/" in nodes and len(nodes) == 8
+    rels = am.table_column_stats_relations(stats).collect()
+    assert {r["end_key"] for r in rels} == {"hive://gold.s/t/a",
+                                            "hive://gold.s/t/b"}
