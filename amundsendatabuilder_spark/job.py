@@ -61,6 +61,12 @@ def main(argv: list[str] | None = None) -> int:
                         ' e.g. {"en": 50}')
     p.add_argument("--max-hamming", type=int, default=1,
                    help="SimHash near-dup threshold for --curate")
+    p.add_argument("--profile", action="store_true",
+                   help="profile --docs columns (min/max/nulls/distinct)"
+                        " into TableColumnStats rows, printed as JSON")
+    p.add_argument("--profile-cols", default="",
+                   help="comma-separated columns for --profile"
+                        " (default: all non-text columns)")
     p.add_argument("--no-fs-probe", action="store_true",
                    help="skip the filesystem mtime probe for tables whose"
                         " catalog detail carries no lastModified")
@@ -76,7 +82,7 @@ def main(argv: list[str] | None = None) -> int:
                 setattr(args, key, pconf.get(key, getattr(args, key)))
         if args.buckets == p.get_default("buckets"):
             args.buckets = int(pconf.get("buckets", args.buckets))
-    if not args.warehouse and not args.curate:
+    if not args.warehouse and not (args.curate or args.profile):
         p.error("--warehouse (or pipeline.warehouse in --conf) is required")
 
     from pyspark.sql import SparkSession
@@ -97,6 +103,22 @@ def main(argv: list[str] | None = None) -> int:
     from amundsendatabuilder_spark.streaming.pipeline import CDCPipeline
 
     with closer:
+        if args.profile:
+            if not args.docs:
+                p.error("--profile requires --docs")
+            from amundsendatabuilder_spark.sources.profiler import (
+                profile_columns,
+            )
+
+            docs = spark.read.parquet(args.docs)
+            cols = ([c for c in args.profile_cols.split(",") if c]
+                    or [f.name for f in docs.schema.fields
+                        if f.name != "text"])
+            stats = profile_columns(
+                docs, cols, db="repofs", cluster=args.cluster,
+                schema="docs", table_name="documents")
+            print(json.dumps([r.asDict() for r in stats.collect()]))
+            return 0
         if args.curate:
             if not (args.docs and args.output):
                 p.error("--curate requires --docs and --output")
