@@ -94,7 +94,14 @@ def main(argv: list[str] | None = None) -> int:
     # stop the session if THIS entry created it — under getOrCreate a host
     # process (tests, a notebook) may own the session already, and stopping
     # a borrowed session would tear down the host's executor state.
-    owns_session = SparkSession.getActiveSession() is None
+    # getOrCreate falls back to the process-wide default session
+    # (SparkSession._instantiatedSession), so test ownership against the
+    # same lookup — getActiveSession alone is thread-local and would
+    # claim (then stop) a host session created on another thread
+    owns_session = (
+        SparkSession.getActiveSession() is None
+        and getattr(SparkSession, "_instantiatedSession", None) is None
+    )
     spark = SparkSession.builder.appName("cdc-ingest").getOrCreate()
     closer = Closer()
     if owns_session:
@@ -171,8 +178,14 @@ def main(argv: list[str] | None = None) -> int:
             metrics = pipe.apply_catalog(scan, args.catalog_epoch,
                                          fs_last_updated=fs_lu)
             tag = metrics.get("publish_tag", f"catalog_epoch_{args.catalog_epoch}")
+            # count ONLY labels the catalog channel publishes — nodes from
+            # the cdc/usage channels carry other tags by design and are
+            # not stale (feeding them to a staleness delete would expire
+            # live non-catalog nodes)
+            catalog_labels = ["Table", "Column", "Description", "Timestamp"]
             stale = (
                 pipe.graph_nodes.read()
+                .where(F.col("label").isin(catalog_labels))
                 .where(F.col("publish_tag") != F.lit(tag))
                 .groupBy("label").count().collect()
             )

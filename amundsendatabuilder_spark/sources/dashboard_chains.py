@@ -183,6 +183,9 @@ EXECUTIONS_RUN_URL = "https://app.mode.com{last_run_resource_path}"
 OWNER_USER_URL = "https://app.mode.com{creator_resource_path}"
 MEMBERSHIPS_URL = "https://app.mode.com/api/{organization}/memberships"
 USER_URL = "https://app.mode.com{mode_user_resource_path}"
+# http (not https) reproduces the reference's literal template
+# (mode_dashboard_charts_batch_extractor.py:69) — parity over polish;
+# a deployment fronting TLS should override the template
 CHARTS_BATCH_URL = "http://app.mode.com/batch/{organization}/charts"
 
 

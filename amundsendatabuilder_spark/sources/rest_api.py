@@ -111,6 +111,26 @@ def _expand_paths(json_path: str) -> tuple[list[str], bool]:
     return expanded, is_or
 
 
+def _values_from_tokens(payload: Any, token_lists: list[list],
+                        is_or: bool, json_path: str) -> list[Any]:
+    """Core of ``json_path_values`` over pre-tokenized paths — the hot
+    per-record path of ``rest_api_join`` (parsing the invariant path
+    string once per record would be pure repeated work)."""
+    if len(token_lists) == 1:
+        return _find(payload, token_lists[0])
+    columns = [_find(payload, toks) for toks in token_lists]
+    counts = {len(c) for c in columns}
+    if len(counts) > 1:
+        raise ValueError(
+            f"ragged JSON-path match counts {[len(c) for c in columns]} for "
+            f"{json_path!r}: sub-record zip would scramble or drop fields"
+        )
+    if is_or:
+        return [x for c in columns for x in c]
+    n = counts.pop() if counts else 0
+    return [c[i] for i in range(n) for c in columns]
+
+
 def json_path_values(payload: Any, json_path: str,
                      json_path_contains_or: bool = False) -> list[Any]:
     """All matches, laid out the way jsonpath-rw would: comma-joined paths
@@ -122,19 +142,8 @@ def json_path_values(payload: Any, json_path: str,
     scramble fields or silently drop trailing matches."""
     paths, is_or = _expand_paths(json_path)
     is_or = is_or or json_path_contains_or
-    if len(paths) == 1:
-        return _find(payload, _tokenize(paths[0]))
-    columns = [_find(payload, _tokenize(p)) for p in paths]
-    counts = {len(c) for c in columns}
-    if len(counts) > 1:
-        raise ValueError(
-            f"ragged JSON-path match counts {[len(c) for c in columns]} for "
-            f"{json_path!r}: sub-record zip would scramble or drop fields"
-        )
-    if is_or:
-        return [x for c in columns for x in c]
-    n = counts.pop() if counts else 0
-    return [c[i] for i in range(n) for c in columns]
+    return _values_from_tokens(
+        payload, [_tokenize(p) for p in paths], is_or, json_path)
 
 
 def compute_sub_records(result_list: list, field_names: list[str],
@@ -176,6 +185,7 @@ def rest_api_join(
     skip_no_result: bool = False,
     can_skip_failure: Callable[[Exception], bool] | None = None,
     field_types: dict[str, str] | None = None,
+    skip_ragged: bool = False,
 ) -> DataFrame:
     """One hop of the correlated join: for every row of ``prev``, build the
     URL from the row (``url.format(**record)``), fetch, JSON-path extract,
@@ -194,8 +204,11 @@ def rest_api_join(
         f.name: f.dataType for f in out_schema.fields if f.name in field_names
     }
     # a '|' union in the path implies OR layout even if the caller forgot
-    # the flag — layout and zip must agree or fields scramble
-    effective_or = json_path_contains_or or _expand_paths(json_path)[1]
+    # the flag — layout and zip must agree or fields scramble. Parse and
+    # tokenize the (invariant) path ONCE, not per record in the hot loop.
+    _paths, _parsed_or = _expand_paths(json_path)
+    effective_or = json_path_contains_or or _parsed_or
+    token_lists = [_tokenize(p) for p in _paths]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -208,8 +221,17 @@ def rest_api_join(
                     if can_skip_failure and can_skip_failure(e):
                         continue
                     raise
-                matches = json_path_values(payload, json_path,
-                                           json_path_contains_or=effective_or)
+                try:
+                    matches = _values_from_tokens(
+                        payload, token_lists, effective_or, json_path)
+                except ValueError:
+                    # one record with a missing optional field must not
+                    # abort the whole extraction when the caller opts into
+                    # per-record degradation (the reference degrades
+                    # per-record); default stays fail-loud
+                    if skip_ragged:
+                        continue
+                    raise
                 if not matches:
                     if fail_no_result:
                         raise RuntimeError(

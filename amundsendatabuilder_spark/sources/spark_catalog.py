@@ -190,9 +190,18 @@ def catalog_locations(spark: SparkSession, scraped: list[dict]) -> DataFrame:
     carries no lastModified (``hive_table_last_updated_extractor.py``).
     ``file:`` URIs are stripped to paths; non-file URIs pass through for
     a Hadoop-FS-aware probe."""
+    from urllib.parse import urlparse
+
+    def _to_path(loc: str) -> str:
+        # Spark emits single-slash 'file:/p' URIs (and 'file:///p' appears
+        # in configs) — a fixed-width strip mangles one of the two forms,
+        # so parse the scheme properly
+        if loc.startswith("file:"):
+            return urlparse(loc).path
+        return loc
+
     rows = [
-        (m["schema"], m["table"],
-         m["location"][7:] if m["location"].startswith("file:") else m["location"])
+        (m["schema"], m["table"], _to_path(m["location"]))
         for m in scraped
         if m.get("location") and not m["is_view"]
     ]

@@ -584,7 +584,11 @@ class CDCPipeline:
             regroup_to_table_metadata,
         )
 
-        if self.graph_nodes.last_epoch("catalog") >= epoch_id:
+        # epoch marker = the LAST-committed table (rels), same rule as
+        # apply_batch/apply_usage: a crash between the nodes and rels
+        # commits must NOT look complete, or the per-table ledger skip in
+        # prepare_upsert never gets the chance to recover the rels
+        if self.graph_relations.last_epoch("catalog") >= epoch_id:
             return {"epoch": epoch_id, "skipped": True}
 
         tables = regroup_to_table_metadata(scan.select(*STANDARD_COLUMNS))

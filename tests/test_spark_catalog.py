@@ -151,3 +151,26 @@ def test_catalog_cli_pipeline_composition(catalog, tmp_path):
     m = pipe.apply_catalog(scan_rows_from_scrape(spark, scraped,
                                                  cluster="gold"), 0)
     assert m.get("skipped")
+
+
+def test_catalog_locations_file_uri_forms(spark):
+    """Spark emits single-slash 'file:/p' URIs; configs may carry
+    'file:///p' — both must resolve to a plain path (a fixed-width strip
+    mangled one form and silently no-op'd the whole fs probe)."""
+    from amundsendatabuilder_spark.sources.spark_catalog import (
+        catalog_locations,
+    )
+
+    scraped = [
+        {"schema": "s", "table": "t1", "location": "file:/data/wh/t1",
+         "is_view": False},
+        {"schema": "s", "table": "t2", "location": "file:///data/wh/t2",
+         "is_view": False},
+        {"schema": "s", "table": "t3", "location": "s3a://bucket/t3",
+         "is_view": False},
+        {"schema": "s", "table": "v1", "location": "file:/x", "is_view": True},
+    ]
+    got = {r["table_name"]: r["location"]
+           for r in catalog_locations(spark, scraped).collect()}
+    assert got == {"t1": "/data/wh/t1", "t2": "/data/wh/t2",
+                   "t3": "s3a://bucket/t3"}
