@@ -141,6 +141,19 @@ class SnapshotTable:
         return Snapshot.from_json(self.io.read(os.path.join(self.meta_dir, f"{v}.json")))
 
     def _commit(self, snap: Snapshot) -> None:
+        # optimistic-concurrency guard for EVERY commit path (upsert,
+        # compact, delete_where, replace_all): the new snapshot must be
+        # built on the version that is still CURRENT, else a read-modify-
+        # write that raced another channel's commit would swap in a
+        # manifest missing that commit's files and ledger entry — silent
+        # data loss under the documented concurrent-channel layout
+        if snap.parent is not None:
+            cur = self.io.read(os.path.join(self.meta_dir, "CURRENT")).strip()
+            if cur != f"v{snap.parent}":
+                raise RuntimeError(
+                    f"concurrent commit detected on {self.root}: snapshot "
+                    f"built on v{snap.parent} but CURRENT is {cur}"
+                )
         snap.committed_at_ms = int(time.time() * 1000)
         self.io.write(os.path.join(self.meta_dir, f"v{snap.version}.json"), snap.to_json())
         self.io.swap_pointer(os.path.join(self.meta_dir, "CURRENT"), f"v{snap.version}")
@@ -314,13 +327,17 @@ class SnapshotTable:
         """Reference strategy: full-outer join on the key, then the caller
         repartitions by bucket for the write (two shuffles)."""
         data_cols = [f.name for f in new_schema.fields]
-        src = src.alias("s")
-        target = target.alias("t")
+        # explicit presence flags: the join is null-safe on the keys, so
+        # "side present" must NOT be inferred from key-column nullness (a
+        # legitimately null-keyed source row would read as absent and take
+        # the target's null payload — diverging from the bucketed strategy)
+        src = src.withColumn("__s_present", F.lit(True)).alias("s")
+        target = target.withColumn("__t_present", F.lit(True)).alias("t")
         on = [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in keys]
         joined = src.join(target, on, "full_outer")
 
-        s_hit = F.col(f"s.{keys[0]}").isNotNull()
-        t_hit = F.col(f"t.{keys[0]}").isNotNull()
+        s_hit = F.col("s.__s_present").isNotNull()
+        t_hit = F.col("t.__t_present").isNotNull()
         take_source = s_hit & ~(t_hit & F.col("s.__co"))
 
         out_cols = []
@@ -363,8 +380,12 @@ class SnapshotTable:
         Observation cannot materialize (empty written plan — an all-delete or
         all-gated-out batch; ADVICE r01)."""
         t_keys = target.select(*keys).withColumn("__t", F.lit(True))
+        # null-safe key equality, matching _merge_join's join condition —
+        # a column-name equi-join would count a null-keyed match as an
+        # insert while the join strategy counts it as an update
+        on = [src[k].eqNullSafe(t_keys[k]) for k in keys]
         row = (
-            src.join(t_keys, list(keys), "left")
+            src.join(t_keys, on, "left").drop(*[t_keys[k] for k in keys])
             .agg(
                 F.count(F.lit(1)).alias("rows_seen"),
                 F.sum((F.col("__del") & F.col("__t").isNotNull()).cast("long")).alias("rows_deleted"),
@@ -635,15 +656,7 @@ class SnapshotTable:
             pmark("counts")
 
         # per-bucket lineage from the written layout (footer-free: dir listing)
-        new_files: dict[str, list[str]] = {}
-        for d in os.listdir(epoch_dir):
-            if d.startswith("__bucket="):
-                b = d.split("=", 1)[1]
-                new_files[b] = sorted(
-                    os.path.join(epoch_dir, d, f)
-                    for f in os.listdir(os.path.join(epoch_dir, d))
-                    if f.endswith(".parquet")
-                )
+        new_files = self._list_bucket_files(epoch_dir)
         files = dict(snap.files)
         for b in touched:           # touched buckets fully rewritten (CoW)
             files.pop(str(b), None)
@@ -1030,6 +1043,24 @@ class SnapshotLake:
         t = SnapshotTable(self.spark, self._root(name), self.manifest_io)
         if self.exists(name):
             if if_not_exists:
+                # returning an existing table under DIFFERENT structural
+                # parameters would silently ignore the caller's request
+                # (e.g. a mor pipeline quietly running against cow tables)
+                cur = t.current()
+                mismatches = [
+                    f"{what}: requested {req!r}, on disk {got!r}"
+                    for what, req, got in (
+                        ("mode", mode, cur.mode),
+                        ("n_buckets", n_buckets, cur.n_buckets),
+                        ("key_cols", list(key_cols), list(cur.key_cols)),
+                    )
+                    if req != got
+                ]
+                if mismatches:
+                    raise ValueError(
+                        f"table {name} exists with different structure — "
+                        + "; ".join(mismatches)
+                    )
                 return t
             raise ValueError(f"table {name} exists")
         names = {f.name for f in schema.fields}

@@ -82,17 +82,23 @@ def parse_kafka_records(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def apply_bad_record_policy(bad: DataFrame, on_bad_record: str = "drop",
-                            dead_letter_dir: str | None = None) -> int:
+                            dead_letter_dir: str | None = None,
+                            write_mode: str = "append") -> int:
     """The reference's ``transformer_thrown_exception`` policy
     (``kafka_source_extractor.py:107-114``): ``drop`` (reference default —
     logs and drops), ``fail`` (poisoned batch aborts loudly), or — strictly
     stronger than the reference — append the raw records to a parquet
     dead-letter sink so nothing is lost. Returns the bad-record count."""
+    if on_bad_record not in ("drop", "fail"):
+        raise ValueError(
+            f"on_bad_record={on_bad_record!r} is not a policy (use 'drop'"
+            " or 'fail') — an unknown value silently ignoring bad records"
+            " would defeat the protection the caller asked for")
     if on_bad_record == "drop" and dead_letter_dir is None:
         return 0  # not even counted — zero extra jobs on the clean path
     if dead_letter_dir is not None:
-        bad.write.mode("append").parquet(dead_letter_dir)
-    n = bad.count() if on_bad_record == "fail" else 0
+        bad.write.mode(write_mode).parquet(dead_letter_dir)
+    n = bad.count()
     if on_bad_record == "fail" and n:
         sample = bad.select("__raw").first()
         raise ValueError(
@@ -204,6 +210,23 @@ class CDCPipeline:
         )
 
 
+    def _maybe_compact(self, epoch_id: int) -> None:
+        """Fold MoR deltas into the base every ``compact_every`` epochs.
+        ALL MoR tables compact here — including ``table_usage``, whose
+        deltas would otherwise accumulate forever (its reads would slow
+        linearly with epochs ingested).  Runs on the replayed form of a
+        boundary epoch too (the crash may have landed between the epoch
+        marker commit and compaction)."""
+        if (
+            self.table_mode == "mor"
+            and self.compact_every
+            and (epoch_id + 1) % self.compact_every == 0
+        ):
+            for tbl in (self.graph_nodes, self.graph_relations,
+                        self.search_documents, self.repo_files,
+                        self.table_usage):
+                tbl.compact(max_delta_files=self.compact_max_delta_files)
+
     def _mat(self, df: DataFrame) -> DataFrame:
         """Materialize a frame reused by several downstream jobs, per the
         configured strategy (see ctor)."""
@@ -236,6 +259,10 @@ class CDCPipeline:
                       f"(abs {time.time() % 1000:.2f})", flush=True)
 
         if self.repo_files.last_epoch("cdc") >= epoch_id:
+            # a replayed compact-boundary epoch must still compact: the
+            # crash may have happened after the entity commit (the epoch
+            # marker) but before the compaction block ran
+            self._maybe_compact(epoch_id)
             return {"epoch": epoch_id, "skipped": True}
 
         # current state for the touched keys — INCLUDING tombstones (a deleted
@@ -438,15 +465,8 @@ class CDCPipeline:
         m_ent = _commit("entities")
         mark("commit_all")
 
-        if (
-            self.table_mode == "mor"
-            and self.compact_every
-            and (epoch_id + 1) % self.compact_every == 0
-        ):
-            for tbl in (self.graph_nodes, self.graph_relations,
-                        self.search_documents, self.repo_files):
-                tbl.compact(max_delta_files=self.compact_max_delta_files)
-            mark("compact")
+        self._maybe_compact(epoch_id)
+        mark("compact")
 
         metrics = {
             "epoch": epoch_id,
@@ -554,6 +574,7 @@ class CDCPipeline:
                 {"skipped_epoch": epoch_id} if p is None
                 else jobs[name][0].commit_prepared(p)
             )
+        self._maybe_compact(epoch_id)
         return out
 
     def apply_catalog(self, scan: DataFrame, epoch_id: int,
@@ -743,7 +764,13 @@ class CDCPipeline:
 
         def _apply(df: DataFrame, eid: int):
             good, bad = parse_kafka_records(df)
-            apply_bad_record_policy(bad, on_bad_record, dead_letter_dir)
+            # epoch-keyed overwrite: a replayed epoch (crash before the
+            # streaming checkpoint committed) rewrites ITS dead-letter
+            # directory instead of appending duplicates
+            dlq = (os.path.join(dead_letter_dir, f"epoch={eid}")
+                   if dead_letter_dir else None)
+            apply_bad_record_policy(bad, on_bad_record, dlq,
+                                    write_mode="overwrite")
             return self.apply_batch(good, eid)
 
         writer = (
