@@ -785,8 +785,9 @@ def q_sessionize_events(spark, sf_dir):
     """Gaps-and-islands sessionization of the event log (30-min inactivity
     gap): one shuffle on user_id shared by both windows and the final agg
     (functions/sessionize.sessionize_events). Integer epoch-micros gap
-    math + decimal value sums keep the result bit-identical to the SQL
-    oracle."""
+    math; value sums ship as integer cents (BIGINT) — the same idiom as
+    every passing money query — so no cross-engine DECIMAL representation
+    surface remains."""
     from amundsendatabuilder_spark.functions.sessionize import (
         sessionize_events,
     )
@@ -794,7 +795,8 @@ def q_sessionize_events(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return sessionize_events(ev).select(
         "user_id", F.col("session_seq").cast("long").alias("session_seq"),
-        "start_us", "end_us", "n_events", "sum_value")
+        "start_us", "end_us", "n_events",
+        F.expr("CAST(sum_value * 100 AS BIGINT)").alias("sum_value_cents"))
 
 
 def q_dedup_components(spark, sf_dir):
@@ -1035,8 +1037,7 @@ def q_streaming_sessions(spark, sf_dir):
         out.where(F.col("user_id") != sentinel_user)
         .select(
             "user_id", "session_seq", "start_us", "end_us", "n_events",
-            F.expr("CAST(sum_cents / 100.0 AS DECIMAL(18,2))")
-                .alias("sum_value"),
+            F.col("sum_cents").cast("long").alias("sum_value_cents"),
         )
         .localCheckpoint(eager=True)
     )
@@ -1430,7 +1431,7 @@ def oracle_sql() -> dict[str, str]:
                    min(ts_us) AS start_us,
                    max(ts_us) AS end_us,
                    COUNT(*) AS n_events,
-                   SUM(v) AS sum_value
+                   CAST(SUM(v) * 100 AS BIGINT) AS sum_value_cents
             FROM sess
             GROUP BY user_id, session_seq
         """,
@@ -1616,7 +1617,7 @@ def oracle_sql() -> dict[str, str]:
                    min(ts_us) AS start_us,
                    max(ts_us) AS end_us,
                    COUNT(*) AS n_events,
-                   SUM(v) AS sum_value
+                   CAST(SUM(v) * 100 AS BIGINT) AS sum_value_cents
             FROM sess
             GROUP BY user_id, session_seq
         """,

@@ -66,11 +66,14 @@ def asof_join(
     # the window's tertiary sort key (max payload wins) — no extra
     # pre-aggregation shuffle.
     r_payload = F.struct(*[F.col(c) for c in right_cols]) if right_cols else None
+    # A right row with a NULL timestamp can never be "at or before" any
+    # left row (DuckDB ASOF ignores them too) — drop them up front, or the
+    # payload window below would pair its payload with a different row's ts.
     r = right.select(
         F.col(key).alias("_k"),
         rts.alias("_ts"),
         *( [r_payload.alias("_pay")] if r_payload is not None else [] ),
-    )
+    ).where(F.col("_ts").isNotNull())
 
     row_struct = F.struct(*[F.col(c) for c in left.columns])
     l = left.select(
@@ -106,7 +109,11 @@ def asof_join(
     if r_payload is not None:
         out = out.withColumn(
             "_m_pay",
-            F.last(F.when(F.col("_side") == 1, F.col("_pay")), ignorenulls=True).over(w),
+            F.last(
+                F.when((F.col("_side") == 1) & F.col("_ts").isNotNull(),
+                       F.col("_pay")),
+                ignorenulls=True,
+            ).over(w),
         )
     out = out.where(F.col("_side") == 0)
     if tolerance_us is not None:

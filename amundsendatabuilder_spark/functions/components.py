@@ -74,6 +74,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
+    max_edges: int | None = None,
 ) -> DataFrame:
     """Component label (minimum reachable node id) for every node that
     appears in ``edges``.  Returns ``(node, component)``, one row per
@@ -83,6 +84,12 @@ def connected_components(
     over the current edge list, both hash-partitioned on the node key —
     AQE coalesces as the edge set shrinks) and stops when the edge set
     reaches a fixpoint: at that point every edge is (node, root).
+
+    ``max_edges`` is the blast-radius guard for adversarial inputs: a
+    pathological pair generator (e.g. a degenerate LSH band where every
+    doc collides) can emit O(n²) edges before CC ever runs — fail loudly
+    with the measured count instead of grinding the cluster (the same
+    contract as ``dedup.simhash_near_pairs(max_candidate_pairs=...)``).
     """
     src_t = edges.schema[src].dataType
     dst_t = edges.schema[dst].dataType
@@ -103,6 +110,12 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev = _digest(e)
+    if max_edges is not None and prev[0] > max_edges:
+        raise ValueError(
+            f"connected_components: {prev[0]} distinct edges exceed "
+            f"max_edges={max_edges} — the upstream pair generator is "
+            f"pathological (near-all-pairs); tighten its blocking/threshold"
+        )
     for _ in range(max_rounds):
         e_next = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _digest(e_next)

@@ -178,14 +178,14 @@ def main(argv: list[str] | None = None) -> int:
             metrics = pipe.apply_catalog(scan, args.catalog_epoch,
                                          fs_last_updated=fs_lu)
             tag = metrics.get("publish_tag", f"catalog_epoch_{args.catalog_epoch}")
-            # count ONLY labels the catalog channel publishes — nodes from
-            # the cdc/usage channels carry other tags by design and are
-            # not stale (feeding them to a staleness delete would expire
-            # live non-catalog nodes)
-            catalog_labels = ["Table", "Column", "Description", "Timestamp"]
+            # count ONLY nodes the catalog channel itself published — scoped
+            # by the channel's tag prefix, not by label: the cdc channel
+            # publishes Table/Column/Description/Timestamp nodes too (under
+            # cdc publish_tags) and those are live, while catalog-published
+            # Database/Cluster/Schema/Tag nodes DO go stale and must count
             stale = (
                 pipe.graph_nodes.read()
-                .where(F.col("label").isin(catalog_labels))
+                .where(F.col("publish_tag").startswith("catalog_epoch_"))
                 .where(F.col("publish_tag") != F.lit(tag))
                 .groupBy("label").count().collect()
             )

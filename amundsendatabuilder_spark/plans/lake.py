@@ -40,6 +40,7 @@ import json
 import os
 import time
 import uuid
+import warnings
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -124,6 +125,25 @@ class ManifestIO:
         self.write(tmp, content)
         os.replace(tmp, pointer_path)  # atomic on POSIX
 
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def create_exclusive(self, path: str, content: str) -> bool:
+        """Create-exclusive write — the compare-and-swap primitive the
+        commit protocol rests on (O_CREAT|O_EXCL is atomic on POSIX; on an
+        object store this is a conditional put with If-None-Match, on a
+        catalog a conditional INSERT). Returns False if ``path`` already
+        exists — the caller lost the commit race."""
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        return True
+
 
 class SnapshotTable:
     def __init__(self, spark: SparkSession, root: str,
@@ -137,25 +157,36 @@ class SnapshotTable:
     # ---- manifest I/O -------------------------------------------------
 
     def current(self) -> Snapshot:
-        v = self.io.read(os.path.join(self.meta_dir, "CURRENT")).strip()
-        return Snapshot.from_json(self.io.read(os.path.join(self.meta_dir, f"{v}.json")))
+        # The CURRENT pointer is a read CACHE, not the commit point: a
+        # commit is durable the moment its v{N}.json is exclusively
+        # created (see _commit), so roll forward past any manifests whose
+        # pointer swap never landed (crash between create and swap).
+        try:
+            v = int(self.io.read(os.path.join(self.meta_dir, "CURRENT")).strip().lstrip("v"))
+        except FileNotFoundError:
+            v = 0  # crash between the v0 manifest create and the first swap
+        while self.io.exists(os.path.join(self.meta_dir, f"v{v + 1}.json")):
+            v += 1
+        return Snapshot.from_json(self.io.read(os.path.join(self.meta_dir, f"v{v}.json")))
 
     def _commit(self, snap: Snapshot) -> None:
-        # optimistic-concurrency guard for EVERY commit path (upsert,
-        # compact, delete_where, replace_all): the new snapshot must be
-        # built on the version that is still CURRENT, else a read-modify-
-        # write that raced another channel's commit would swap in a
-        # manifest missing that commit's files and ledger entry — silent
-        # data loss under the documented concurrent-channel layout
-        if snap.parent is not None:
-            cur = self.io.read(os.path.join(self.meta_dir, "CURRENT")).strip()
-            if cur != f"v{snap.parent}":
-                raise RuntimeError(
-                    f"concurrent commit detected on {self.root}: snapshot "
-                    f"built on v{snap.parent} but CURRENT is {cur}"
-                )
+        # Compare-and-swap concurrency control for EVERY commit path
+        # (upsert, compact, delete_where, replace_all): two committers
+        # built on the same parent both derive version parent+1, and the
+        # exclusive CREATE of v{N}.json admits exactly one — the loser
+        # raises instead of silently swapping in a manifest missing the
+        # winner's files and ledger entry. (The former read-then-swap
+        # guard had a window where both could pass the read; this has
+        # none — manifest creation IS the commit point, and the CURRENT
+        # pointer is just a cache that current() rolls forward.)
         snap.committed_at_ms = int(time.time() * 1000)
-        self.io.write(os.path.join(self.meta_dir, f"v{snap.version}.json"), snap.to_json())
+        path = os.path.join(self.meta_dir, f"v{snap.version}.json")
+        if not self.io.create_exclusive(path, snap.to_json()):
+            raise RuntimeError(
+                f"concurrent commit detected on {self.root}: v{snap.version} "
+                f"(parent v{snap.parent}) already exists — another committer "
+                f"won the race; re-read current() and retry the commit"
+            )
         self.io.swap_pointer(os.path.join(self.meta_dir, "CURRENT"), f"v{snap.version}")
 
     # ---- read ----------------------------------------------------------
@@ -1021,14 +1052,17 @@ class SnapshotLake:
                  manifest_io: ManifestIO | None = None):
         self.spark = spark
         self.warehouse = warehouse
-        self.manifest_io = manifest_io
+        self.manifest_io = manifest_io or ManifestIO()
         os.makedirs(warehouse, exist_ok=True)
 
     def _root(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
 
     def exists(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._root(name), "meta", "CURRENT"))
+        meta = os.path.join(self._root(name), "meta")
+        # v0.json is the commit point; CURRENT may lag it after a crash
+        return (self.manifest_io.exists(os.path.join(meta, "CURRENT"))
+                or self.manifest_io.exists(os.path.join(meta, "v0.json")))
 
     def create_table(
         self,
@@ -1043,15 +1077,19 @@ class SnapshotLake:
         t = SnapshotTable(self.spark, self._root(name), self.manifest_io)
         if self.exists(name):
             if if_not_exists:
-                # returning an existing table under DIFFERENT structural
-                # parameters would silently ignore the caller's request
-                # (e.g. a mor pipeline quietly running against cow tables)
+                # returning an existing table under DIFFERENT semantics
+                # would silently ignore the caller's request (e.g. a mor
+                # pipeline quietly running against cow tables) — hard
+                # error on mode/key_cols. n_buckets is a PHYSICAL layout
+                # parameter whose on-disk value is authoritative (every
+                # merge path reads snap.n_buckets), so a get-or-open
+                # caller with a defaulted --buckets adopts it with a
+                # warning instead of failing.
                 cur = t.current()
                 mismatches = [
                     f"{what}: requested {req!r}, on disk {got!r}"
                     for what, req, got in (
                         ("mode", mode, cur.mode),
-                        ("n_buckets", n_buckets, cur.n_buckets),
                         ("key_cols", list(key_cols), list(cur.key_cols)),
                     )
                     if req != got
@@ -1061,6 +1099,11 @@ class SnapshotLake:
                         f"table {name} exists with different structure — "
                         + "; ".join(mismatches)
                     )
+                if n_buckets != cur.n_buckets:
+                    warnings.warn(
+                        f"table {name}: requested n_buckets={n_buckets} but "
+                        f"on-disk layout has {cur.n_buckets}; adopting the "
+                        f"on-disk value", stacklevel=2)
                 return t
             raise ValueError(f"table {name} exists")
         names = {f.name for f in schema.fields}

@@ -5,6 +5,7 @@ decontamination, PII scrubbing, stratified sampling, and the as-of join
 
 import random
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -74,6 +75,19 @@ def test_connected_components_long_chain_converges(spark):
     out = connected_components(df, max_rounds=16).collect()
     assert {r["component"] for r in out} == {0}
     assert len(out) == 64
+
+
+def test_connected_components_max_edges_guard(spark):
+    """VERDICT r04 directive 7: adversarial O(n^2) edge sets fail loudly
+    with the measured count before any CC round runs."""
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(20) for j in range(i)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="exceed max_edges"):
+        connected_components(edges, max_edges=100)
+    # under the cap it still runs to the right answer (one clique)
+    out = connected_components(edges, max_edges=1000)
+    assert {r["component"] for r in out.collect()} == {0}
 
 
 # ---------------------------------------------------------------------------
@@ -216,6 +230,26 @@ def test_asof_join_tolerance_and_tie(spark):
     assert out[1]["v_r"] == "same-instant"
     # 50s - 11s = 39s > 5s tolerance -> voided
     assert out[2]["v_r"] is None and out[2]["ts_r"] is None
+
+
+def test_asof_join_ignores_null_ts_right_rows(spark):
+    """ADVICE r04: a right row with NULL ts must be invisible (DuckDB ASOF
+    ignores it) — previously its payload could pair with another row's ts."""
+    ldf = spark.createDataFrame([Row(k=1, ts_us=10_000_000, event_id=1)]
+                                ).select("k", F.timestamp_micros("ts_us").alias("ts"), "event_id")
+    rdf = spark.createDataFrame(
+        [(1, 5_000_000, "real"), (1, None, "ghost")],
+        "k long, ts_us long, v string",
+    ).select("k", F.timestamp_micros("ts_us").alias("ts"), "v")
+    out = asof_join(ldf, rdf, key="k", right_cols=["v"]).collect()
+    assert len(out) == 1
+    assert out[0]["v_r"] == "real" and out[0]["ts_r"] == 5_000_000
+    # only null-ts right rows -> no match at all (not a ghost payload)
+    rdf2 = spark.createDataFrame([(1, None, "ghost")],
+                                 "k long, ts_us long, v string"
+                                 ).select("k", F.timestamp_micros("ts_us").alias("ts"), "v")
+    out2 = asof_join(ldf, rdf2, key="k", right_cols=["v"]).collect()
+    assert out2[0]["v_r"] is None and out2[0]["ts_r"] is None
 
 
 # ---------------------------------------------------------------------------

@@ -271,3 +271,54 @@ def test_duplicate_key_batch_fails_loudly(spark, warehouse):
     dup = spark.createDataFrame([("a", "v1", 1), ("a", "v2", 2)], SCHEMA)
     with pytest.raises(ValueError, match="duplicate keys"):
         t.merge_upsert(dup, 0, check_unique=True)
+
+
+def test_concurrent_commit_cas(spark, warehouse):
+    """ADVICE r04: the commit is a true compare-and-swap — two committers
+    built on the same parent race to create the same v{N}.json and exactly
+    one wins; the loser raises instead of silently clobbering."""
+    import os
+
+    lake, t = _mk(spark, warehouse, n_buckets=4)
+    t.merge_upsert(spark.createDataFrame([("a", "A", 1)], SCHEMA), 0)
+    # simulate committer B winning the race: the next version's manifest
+    # appears between A's current() read and A's commit
+    snap = t.current()
+    stolen = os.path.join(t.meta_dir, f"v{snap.version + 1}.json")
+    with open(stolen, "w") as f:
+        f.write(snap.to_json())
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t.merge_upsert(spark.createDataFrame([("b", "B", 1)], SCHEMA), 1)
+
+
+def test_pointer_rollforward_after_crash(spark, warehouse):
+    """A crash between manifest creation and the CURRENT swap must not lose
+    the commit: manifest creation IS the commit point and readers roll the
+    stale pointer forward."""
+    import os
+
+    lake, t = _mk(spark, warehouse, n_buckets=4)
+    t.merge_upsert(spark.createDataFrame([("a", "A", 1)], SCHEMA), 0)
+    v = t.current().version
+    t.merge_upsert(spark.createDataFrame([("b", "B", 1)], SCHEMA), 1)
+    # wind the pointer back to simulate the un-landed swap
+    t.io.swap_pointer(os.path.join(t.meta_dir, "CURRENT"), f"v{v}")
+    assert t.current().version == v + 1
+    assert rows(t) == {"a": ("A", 1), "b": ("B", 1)}
+    # next commit builds on the rolled-forward version, not the stale pointer
+    t.merge_upsert(spark.createDataFrame([("c", "C", 1)], SCHEMA), 2)
+    assert t.current().version == v + 2
+
+
+def test_reopen_adopts_on_disk_buckets(spark, warehouse):
+    """ADVICE r04: get-or-open with a defaulted n_buckets adopts the
+    authoritative on-disk layout (warning), while mode/key_cols mismatches
+    stay hard errors."""
+    lake, t = _mk(spark, warehouse, n_buckets=4)
+    with pytest.warns(UserWarning, match="n_buckets"):
+        t2 = lake.create_table("t", SCHEMA, ["key"], n_buckets=64)
+    assert t2.current().n_buckets == 4
+    with pytest.raises(ValueError, match="different structure"):
+        lake.create_table("t", SCHEMA, ["key"], n_buckets=4, mode="mor")
+    with pytest.raises(ValueError, match="different structure"):
+        lake.create_table("t", SCHEMA, ["name"], n_buckets=4)
