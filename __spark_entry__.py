@@ -967,6 +967,42 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_sessions_channel(spark, sf_dir):
+    """The exactly-once 'sessions' pipeline channel
+    (streaming/pipeline.CDCPipeline.apply_sessions): the event log is
+    split at its exact median timestamp into two time-ordered epochs and
+    replayed through the lake channel (open-session state merge across
+    the epoch boundary, bucket-pruned point lookups, epoch ledger).  The
+    accumulated ``user_sessions`` table must equal the one-shot batch
+    sessionization -- same oracle SQL as ``sessionize_events``."""
+    import shutil
+
+    from amundsendatabuilder_spark.streaming.pipeline import CDCPipeline
+
+    ev = _t(spark, sf_dir, "events")
+    # NTZ-safe integer micros (same contract as functions/sessionize)
+    us = ("timestampdiff(MICROSECOND,"
+          " TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    cut = ev.select(
+        F.expr(f"CAST(percentile({us}, 0.5) AS BIGINT)").alias("c")
+    ).first()["c"]
+    e1 = ev.where(F.expr(us) <= F.lit(cut))
+    e2 = ev.where(F.expr(us) > F.lit(cut))
+    work = tempfile.mkdtemp(prefix="sess_channel_")
+    try:
+        pipe = CDCPipeline(spark, work, n_buckets=16)
+        pipe.apply_sessions(e1, 0)
+        pipe.apply_sessions(e2, 1)
+        return (
+            pipe.user_sessions.read()
+            .select("user_id", "session_seq", "start_us", "end_us",
+                    "n_events", F.col("sum_cents").alias("sum_value_cents"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_streaming_sessions(spark, sf_dir):
     """Streaming sessionization (streaming/sessions.streaming_sessionize,
     applyInPandasWithState): the event log is replayed through a real
@@ -1084,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
+        "sessions_channel": q_sessions_channel,
         "streaming_sessions": q_streaming_sessions,
         "column_profile": q_column_profile,
         "dedup_canonical": q_dedup_canonical,
@@ -1592,6 +1629,34 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
                   FROM s)
             SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 3
+        """,
+        "sessions_channel": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                     CAST(value AS DECIMAL(18,2)) AS v
+              FROM events
+            ), flagged AS (
+              SELECT *,
+                     CASE WHEN lag(ts_us) OVER w IS NULL
+                            OR ts_us - lag(ts_us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            ), sess AS (
+              SELECT *,
+                     SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM flagged
+            )
+            SELECT user_id,
+                   CAST(session_seq AS BIGINT) AS session_seq,
+                   min(ts_us) AS start_us,
+                   max(ts_us) AS end_us,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(v) * 100 AS BIGINT) AS sum_value_cents
+            FROM sess
+            GROUP BY user_id, session_seq
         """,
         "streaming_sessions": """
             WITH e AS (

@@ -67,6 +67,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--profile-cols", default="",
                    help="comma-separated columns for --profile"
                         " (default: all non-text columns)")
+    p.add_argument("--sessions", action="store_true",
+                   help="replay --source event parquet (chunk_* dirs ="
+                        " epochs, else one epoch) into per-user sessions"
+                        " via the exactly-once 'sessions' channel")
+    p.add_argument("--session-gap-min", type=int, default=30)
+    p.add_argument("--ingest-csv",
+                   help="replay the reference's example/sample_data CSV"
+                        " fixture family (21 files) through every entity"
+                        " path into the graph tables as one fixture epoch,"
+                        " then rebuild the three ES doc families")
+    p.add_argument("--ingest-epoch", type=int, default=0)
+    p.add_argument("--export-docs",
+                   help="optional dir for --ingest-csv to write canonical"
+                        " ES JSON docs (table/user/dashboard)")
     p.add_argument("--no-fs-probe", action="store_true",
                    help="skip the filesystem mtime probe for tables whose"
                         " catalog detail carries no lastModified")
@@ -153,6 +167,35 @@ def main(argv: list[str] | None = None) -> int:
         pipe = CDCPipeline(
             spark, args.warehouse, n_buckets=args.buckets, cluster=args.cluster
         )
+        if args.sessions:
+            import glob
+
+            if not args.source:
+                p.error("--sessions requires --source")
+            chunks = sorted(d for d in glob.glob(f"{args.source}/*")
+                            if "/chunk_" in d) or [args.source]
+            out = [
+                pipe.apply_sessions(spark.read.parquet(c), i,
+                                    gap_minutes=args.session_gap_min)
+                for i, c in enumerate(chunks)
+            ]
+            print(json.dumps({"epochs": len(out),
+                              "skipped": sum("skipped" in m for m in out),
+                              "sessions_rows":
+                                  pipe.user_sessions.read().count()},
+                             default=str))
+            return 0
+        if args.ingest_csv:
+            from amundsendatabuilder_spark.sample_ingest import (
+                ingest_fixture_dir,
+            )
+
+            metrics = ingest_fixture_dir(
+                pipe, args.ingest_csv, epoch_id=args.ingest_epoch,
+                export_dir=args.export_docs,
+            )
+            print(json.dumps(metrics, default=str))
+            return 0
         if args.catalog_scan:
             # catalog → nodes → merge → staleness candidates: the reference's
             # metadata DefaultJob + Neo4jStalenessRemovalTask, one CLI call

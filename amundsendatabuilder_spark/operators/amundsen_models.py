@@ -43,6 +43,36 @@ def _tbl_key(db="database", cluster="cluster", schema="schema", tbl="name"):
 
 # ---- TableMetadata (databuilder/models/table_metadata.py:193-503) ----------
 
+def _desc_prog(tables: DataFrame):
+    """True for rows whose description is PROGRAMMATIC (a non-default
+    description_source): node id ``_{source}_description`` and label
+    ``Programmatic_Description`` instead of ``_description``/``Description``
+    (``table_metadata.py:100-127``)."""
+    if "description_source" not in tables.columns:
+        return F.lit(False)
+    return (
+        F.col("description_source").isNotNull()
+        & (F.length("description_source") > 0)
+        & (F.col("description_source") != "description")
+    )
+
+
+def _desc_id(tables: DataFrame):
+    if "description_source" not in tables.columns:
+        return F.lit("_description")
+    return F.when(
+        _desc_prog(tables),
+        F.concat(F.lit("_"), F.col("description_source"), F.lit("_description")),
+    ).otherwise(F.lit("_description"))
+
+
+def _desc_src(tables: DataFrame):
+    if "description_source" not in tables.columns:
+        return F.lit("description")
+    return F.when(_desc_prog(tables), F.col("description_source")).otherwise(
+        F.lit("description"))
+
+
 def table_metadata_nodes(tables: DataFrame, columns: DataFrame | None = None) -> DataFrame:
     """tables: database,cluster,schema,name,description[,tags,is_view,
     description_source]; columns: name,description,col_type,sort_order,
@@ -54,10 +84,15 @@ def table_metadata_nodes(tables: DataFrame, columns: DataFrame | None = None) ->
                     is_view=F.coalesce(F.col("is_view").cast("boolean"), F.lit(False))
                     if "is_view" in tables.columns else F.lit(False)),
               _tmap(is_view="bool")),
-        _node(t.where(F.col("description").isNotNull()),
+        _node(t.where(F.col("description").isNotNull() & ~_desc_prog(tables)),
               F.concat(F.col("__tk"), F.lit("/_description")), "Description",
               _smap(description=F.col("description"),
                     description_source=F.lit("description"))),
+        _node(t.where(F.col("description").isNotNull() & _desc_prog(tables)),
+              F.concat(F.col("__tk"), F.lit("/"), _desc_id(tables)),
+              "Programmatic_Description",
+              _smap(description=F.col("description"),
+                    description_source=_desc_src(tables))),
     ]
     if "tags" in tables.columns:
         tag = t.select(
@@ -106,9 +141,14 @@ def table_metadata_relations(tables: DataFrame, columns: DataFrame | None = None
     sk = F.concat(F.col("database"), F.lit("://"), F.col("cluster"), F.lit("."), F.col("schema"))
     parts = [
         _rel(t, sk, "Schema", F.col("__tk"), "Table", "TABLE", "TABLE_OF"),
-        _rel(t.where(F.col("description").isNotNull()), F.col("__tk"), "Table",
+        _rel(t.where(F.col("description").isNotNull() & ~_desc_prog(tables)),
+             F.col("__tk"), "Table",
              F.concat(F.col("__tk"), F.lit("/_description")), "Description",
              "DESCRIPTION", "DESCRIPTION_OF"),
+        _rel(t.where(F.col("description").isNotNull() & _desc_prog(tables)),
+             F.col("__tk"), "Table",
+             F.concat(F.col("__tk"), F.lit("/"), _desc_id(tables)),
+             "Programmatic_Description", "DESCRIPTION", "DESCRIPTION_OF"),
     ]
     if "tags" in tables.columns:
         tag = t.select(
@@ -327,9 +367,14 @@ def column_usage_nodes(usage: DataFrame) -> DataFrame:
 
 
 def column_usage_relations(usage: DataFrame) -> DataFrame:
+    """Table-[READ_BY]->User (reverse READ) with read_count — the exact
+    wire direction of ``column_usage_model.py:75-85``
+    (type=TABLE_USER_RELATION_TYPE='READ_BY'), which the table search
+    Cypher depends on (``neo4j_search_data_extractor.py:39-42`` matches
+    ``(table)-[read:READ_BY]->(user)``)."""
     u = usage.withColumn("__tk", _tbl_key("database", "cluster", "schema", "table_name"))
     return _rel(
-        u, F.col("__tk"), "Table", F.col("user_email"), "User", "READ", "READ_BY",
+        u, F.col("__tk"), "Table", F.col("user_email"), "User", "READ_BY", "READ",
         attrs=_smap(read_count=F.col("read_count").cast("int")),
         types=_tmap(read_count="int"),
     )

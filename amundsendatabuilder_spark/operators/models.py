@@ -285,11 +285,14 @@ def usage_relations(usage: DataFrame) -> DataFrame:
 
 def validate_nodes(nodes: DataFrame) -> DataFrame:
     """Reference validation (``graph_serializable.py:75-108``): key+label
-    non-null, label is title-cased."""
+    non-null, label title-cased in PYTHON ``str.istitle`` semantics — any
+    non-letter starts a new word, so ``Programmatic_Description`` is valid
+    (Spark ``initcap`` only splits on whitespace and would reject it)."""
     return nodes.where(
         F.col("key").isNotNull()
         & F.col("label").isNotNull()
-        & (F.col("label") == F.initcap(F.col("label")))
+        & F.col("label").rlike(
+            r"^[^a-zA-Z]*[A-Z][a-z]*([^a-zA-Z]+[A-Z][a-z]*)*[^a-zA-Z]*$")
     )
 
 

@@ -249,18 +249,73 @@ def docs_from_graph(nodes: DataFrame, relations: DataFrame) -> DataFrame:
             "last_updated_timestamp"
         ),
     )
-    tags = n.where(F.col("label") == "Table").select(
-        F.col("key"), F.array(F.col("attributes")["lang"]).alias("tags")
+    # tags: COLLECT(DISTINCT tags.key) over TAGGED_BY where tag_type=
+    # 'default' (the reference Cypher, neo4j_search_data_extractor.py:34-36);
+    # the cdc channel's Table nodes carry no Tag nodes but a `lang`
+    # attribute, which stands in when no graph tag exists
+    tag_nodes = n.where(
+        (F.col("label") == "Tag")
+        & (F.col("attributes")["tag_type"] == "default")
+    ).select(F.col("key").alias("tag_key"))
+    graph_tags = (
+        relations.where(F.col("type") == "TAGGED_BY")
+        .select(F.col("start_key").alias("key"),
+                F.col("end_key").alias("tag_key"))
+        .join(tag_nodes, "tag_key")
+        .groupBy("key")
+        .agg(F.sort_array(F.collect_set("tag_key")).alias("graph_tags"))
+    )
+    tags = (
+        n.where(F.col("label") == "Table")
+        .select(F.col("key"),
+                F.array(F.col("attributes")["lang"]).alias("lang_tags"))
+        .join(graph_tags, "key", "left")
+        .select(
+            "key",
+            F.coalesce(
+                F.col("graph_tags"),
+                F.filter(F.col("lang_tags"), lambda x: x.isNotNull()),
+            ).alias("tags"),
+        )
+    )
+    # badges: COLLECT(DISTINCT badges.key) over HAS_BADGE (:37-39)
+    badges = (
+        relations.where(
+            (F.col("type") == "HAS_BADGE") & (F.col("start_label") == "Table")
+        )
+        .groupBy(F.col("start_key").alias("key"))
+        .agg(F.sort_array(F.collect_set("end_key")).alias("badges"))
+    )
+    # schema description: (schema)-[:DESCRIPTION]->(desc) (:30)
+    schema_descs = n.where(F.col("label") == "Description").select(
+        F.regexp_replace(F.col("key"), "/_description$", "").alias("schema_key"),
+        F.col("attributes")["description"].alias("schema_description"),
+    )
+    # programmatic descriptions: COLLECT over the Programmatic_Description
+    # nodes hanging off the table (:31-33), deterministic source order
+    prog = (
+        n.where(F.col("label") == "Programmatic_Description")
+        .select(
+            F.regexp_extract(F.col("key"), "^(.*)/[^/]+$", 1).alias("key"),
+            F.struct(F.col("key").alias("pk"),
+                     F.col("attributes")["description"].alias("d")).alias("p"),
+        )
+        .groupBy("key")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+        .select("key", F.col("ps.d").alias("programmatic_descriptions"))
     )
 
     empty = F.array().cast(T.ArrayType(T.StringType()))
     spine = (
         tables.join(tbl_rel, "key", "left")
         .join(schemas, "schema_key", "left")
+        .join(schema_descs, "schema_key", "left")
         .join(descs, "key", "left")
         .join(cols, "key", "left")
         .join(ts, "key", "left")
         .join(tags, "key", "left")
+        .join(badges, "key", "left")
+        .join(prog, "key", "left")
         .join(usage, "key", "left")
     )
     return spine.select(
@@ -277,7 +332,8 @@ def docs_from_graph(nodes: DataFrame, relations: DataFrame) -> DataFrame:
         F.coalesce(F.col("total_usage"), F.lit(0)).cast("long").alias("total_usage"),
         F.coalesce(F.col("unique_usage"), F.lit(0)).cast("long").alias("unique_usage"),
         F.coalesce(F.col("tags"), empty).alias("tags"),
-        empty.alias("badges"),
-        F.lit(None).cast("string").alias("schema_description"),
-        empty.alias("programmatic_descriptions"),
+        F.coalesce(F.col("badges"), empty).alias("badges"),
+        F.col("schema_description"),
+        F.coalesce(F.col("programmatic_descriptions"), empty).alias(
+            "programmatic_descriptions"),
     )

@@ -822,6 +822,15 @@ class SnapshotTable:
         mor_schema = self._mor_schema(snap.schema())
         files = [f for b in todo for f in
                  snap.files.get(b, []) + snap.delta_files.get(b, [])]
+        # driver-side stat of the inputs being folded (bounded metadata
+        # traffic): lets replay artifacts separate compaction-epoch cost
+        # from host noise (BENCH_ENDURANCE per-epoch bytes/files)
+        in_bytes = 0
+        for f in files:
+            try:
+                in_bytes += os.path.getsize(f)
+            except OSError:
+                pass
         raw = self._read_files(files, mor_schema)
         keys = snap.key_cols
         # resolve but KEEP rows' seq/co (merge order survives the rewrite);
@@ -842,7 +851,9 @@ class SnapshotTable:
             base.pop(b, None)
             deltas.pop(b, None)
         base.update(new_base)
-        metrics = {"compacted_buckets": len(todo)}
+        metrics = {"compacted_buckets": len(todo),
+                   "compacted_files": len(files),
+                   "compacted_bytes": in_bytes}
         self._commit(
             Snapshot(
                 version=snap.version + 1,

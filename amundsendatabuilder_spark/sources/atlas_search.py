@@ -86,6 +86,9 @@ _TRANSFORMS: dict[str, Callable[[Column], Column]] = {
     # parameters dict -> [str(v) for v in values()] (:101)
     "parameter_values": lambda c: F.transform(
         F.map_values(c), lambda v: v.cast("string")),
+    # entity __state/status == ACTIVE, unknown -> active (User spec)
+    "status_active": lambda c: F.coalesce(
+        F.upper(c) == F.lit("ACTIVE"), F.lit(True)),
 }
 
 # (es_field, atlas path, transform name, default) — the reference's
@@ -110,6 +113,52 @@ TABLE_FIELDS_MAPPING_SPEC: list[tuple[str, str, str | None, object]] = [
     ("schema_description", "attributes.parameters.sourceDescription", None, None),
     ("programmatic_descriptions", "attributes.parameters", "parameter_values", {}),
 ]
+
+
+# second entity spec, proving the compiler generalizes the way the
+# reference's per-type registry intends (FIELDS_MAPPING_SPEC keyed by
+# entity type, :81,157 — the reference ships only 'Table' and leaves the
+# registry as the extension point): the Atlas 'User' entity in the
+# UserESDocument shape (user_elasticsearch_document.py:7-40)
+USER_ENTITY_SCHEMA = (
+    "struct<"
+    "typeName:string,"
+    "status:string,"
+    "attributes:struct<qualifiedName:string,name:string,firstName:string,"
+    "lastName:string,githubUsername:string,employeeType:string,"
+    "slackId:string,roleName:string,totalRead:long,totalOwn:long,"
+    "totalFollow:long>,"
+    "relationshipAttributes:struct<team:struct<displayText:string>,"
+    "manager:struct<displayText:string>>"
+    ">"
+)
+
+USER_FIELDS_MAPPING_SPEC: list[tuple[str, str, str | None, object]] = [
+    ("email", "attributes.qualifiedName", None, None),
+    ("first_name", "attributes.firstName", None, None),
+    ("last_name", "attributes.lastName", None, None),
+    ("full_name", "attributes.name", None, None),
+    ("github_username", "attributes.githubUsername", None, None),
+    ("team_name", "relationshipAttributes.team.displayText", None, None),
+    ("employee_type", "attributes.employeeType", None, None),
+    ("manager_email", "relationshipAttributes.manager.displayText", None, None),
+    ("slack_id", "attributes.slackId", None, None),
+    ("role_name", "attributes.roleName", None, None),
+    ("is_active", "status", "status_active", None),
+    ("total_read", "attributes.totalRead", "to_long", 0),
+    ("total_own", "attributes.totalOwn", "to_long", 0),
+    ("total_follow", "attributes.totalFollow", "to_long", 0),
+]
+
+# the per-type registry, same keying as the reference (:81,157)
+FIELDS_MAPPING_SPEC_BY_TYPE = {
+    "Table": TABLE_FIELDS_MAPPING_SPEC,
+    "User": USER_FIELDS_MAPPING_SPEC,
+}
+ENTITY_SCHEMA_BY_TYPE = {
+    "Table": TABLE_ENTITY_SCHEMA,
+    "User": USER_ENTITY_SCHEMA,
+}
 
 
 def _path_col(entity: Column, path: str) -> Column:

@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 
 
 def read_csv(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
-    r = spark.read.option("header", True)
+    """RFC-4180 semantics to match the reference's ``csv.DictReader``
+    (``csv_extractor.py:40-44``): quoted fields may span lines (multiLine)
+    and embed doubled quotes (escape='\"').  multiLine costs whole-file
+    splits — fine for metadata CSVs, which are driver-scale inputs."""
+    r = (spark.read.option("header", True)
+         .option("multiLine", True).option("escape", '"'))
     return (r.schema(schema) if schema else r.option("inferSchema", True)).csv(path)
 
 

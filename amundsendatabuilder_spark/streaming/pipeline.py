@@ -208,24 +208,54 @@ class CDCPipeline:
         self.table_usage = self.lake.create_table(
             "table_usage", usage_schema, DOC_KEYS, n_buckets=n_buckets, mode=table_mode
         )
+        # sessionization channel (apply_sessions): closed+open sessions per
+        # user keyed (user_id, session_seq), plus the O(active users) open-
+        # session state keyed user_id — the batch-epoch twin of the
+        # streaming operator's applyInPandasWithState store
+        session_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("session_seq", T.LongType()),
+                T.StructField("start_us", T.LongType()),
+                T.StructField("end_us", T.LongType()),
+                T.StructField("n_events", T.LongType()),
+                T.StructField("sum_cents", T.LongType()),
+            ]
+        )
+        self.user_sessions = self.lake.create_table(
+            "user_sessions", session_schema, ["user_id", "session_seq"],
+            n_buckets=n_buckets, mode=table_mode,
+        )
+        self.session_state = self.lake.create_table(
+            "session_state", session_schema, ["user_id"],
+            n_buckets=n_buckets, mode=table_mode,
+        )
 
 
-    def _maybe_compact(self, epoch_id: int) -> None:
+    def _maybe_compact(self, epoch_id: int) -> dict[str, Any] | None:
         """Fold MoR deltas into the base every ``compact_every`` epochs.
         ALL MoR tables compact here — including ``table_usage``, whose
         deltas would otherwise accumulate forever (its reads would slow
         linearly with epochs ingested).  Runs on the replayed form of a
         boundary epoch too (the crash may have landed between the epoch
-        marker commit and compaction)."""
+        marker commit and compaction).  Returns summed bytes/files/buckets
+        when compaction ran (endurance artifacts chart these per epoch)."""
         if (
             self.table_mode == "mor"
             and self.compact_every
             and (epoch_id + 1) % self.compact_every == 0
         ):
+            tot = {"compacted_buckets": 0, "compacted_files": 0,
+                   "compacted_bytes": 0}
             for tbl in (self.graph_nodes, self.graph_relations,
                         self.search_documents, self.repo_files,
-                        self.table_usage):
-                tbl.compact(max_delta_files=self.compact_max_delta_files)
+                        self.table_usage, self.user_sessions,
+                        self.session_state):
+                m = tbl.compact(max_delta_files=self.compact_max_delta_files)
+                for k in tot:
+                    tot[k] += m.get(k, 0)
+            return tot
+        return None
 
     def _mat(self, df: DataFrame) -> DataFrame:
         """Materialize a frame reused by several downstream jobs, per the
@@ -429,15 +459,26 @@ class CDCPipeline:
         # every batch here is a narrow derivation of the checkpointed
         # winners/old_all/new_entities frames; materializing them per table
         # trades one extra job + a map-heavy copy for shallower merge plans
-        # (less driver-serial Catalyst time). Env-switchable for benching.
-        mat = os.environ.get("SPARK_CDC_MAT_BATCH", "0") == "1"
+        # (less driver-serial Catalyst time). Env-switchable per table:
+        # "1" = all, "0" = none (default), or a comma list of table names.
+        # Measured r5 at 1M events: materializing the map-heavy node/rel
+        # expansions costs the WIDE arm disproportionately (4-core epoch
+        # wall 85-97s vs 73s without; 1-core 176 vs 186) — recompute is
+        # cheap CPU, the copy is memory bandwidth, and membw is the
+        # resource that refuses to scale on this host (r4 membw control
+        # 0.698). Scaling efficiency 1->4: ~0.63 unmaterialized vs ~0.49.
+        mat_env = os.environ.get("SPARK_CDC_MAT_BATCH", "0")
+        mat_for = {
+            name: (mat_env == "1" or name in mat_env.split(","))
+            for name in jobs
+        }
         if self.parallel_prepare:
             with ThreadPoolExecutor(max_workers=4) as ex:
                 futs = {
                     name: ex.submit(
                         tbl.prepare_upsert, b, epoch_id,
                         channel="cdc", publish_tag=tag,
-                        materialize_batch=mat, **kw,
+                        materialize_batch=mat_for[name], **kw,
                     )
                     for name, (tbl, b, kw) in jobs.items()
                 }
@@ -446,7 +487,7 @@ class CDCPipeline:
             preps = {
                 name: tbl.prepare_upsert(
                     b, epoch_id, channel="cdc", publish_tag=tag,
-                    materialize_batch=mat, **kw
+                    materialize_batch=mat_for[name], **kw
                 )
                 for name, (tbl, b, kw) in jobs.items()
             }
@@ -465,7 +506,7 @@ class CDCPipeline:
         m_ent = _commit("entities")
         mark("commit_all")
 
-        self._maybe_compact(epoch_id)
+        comp = self._maybe_compact(epoch_id)
         mark("compact")
 
         metrics = {
@@ -476,6 +517,8 @@ class CDCPipeline:
             "graph_relations": m_rels,
             "search_documents": m_docs,
         }
+        if comp is not None:
+            metrics["compaction"] = comp
         with open(os.path.join(self.metrics_dir, f"epoch_{epoch_id}.json"), "w") as f:
             json.dump(metrics, f, sort_keys=True)
         return metrics
@@ -574,8 +617,121 @@ class CDCPipeline:
                 {"skipped_epoch": epoch_id} if p is None
                 else jobs[name][0].commit_prepared(p)
             )
-        self._maybe_compact(epoch_id)
+        comp = self._maybe_compact(epoch_id)
+        if comp is not None:
+            out["compaction"] = comp
         return out
+
+    def apply_sessions(self, events: DataFrame, epoch_id: int,
+                       gap_minutes: int = 30) -> dict[str, Any]:
+        """Ingest one micro-batch of raw events ``(event_id, ts, user_id,
+        value)`` into per-user sessions as an idempotent 'sessions' channel
+        epoch — the pipeline wiring of ``functions/sessionize`` (and the
+        exactly-once twin of ``streaming/sessions.streaming_sessionize``).
+
+        Shape per epoch: sessionize the batch (ONE shuffle on user_id),
+        read the open-session state for ONLY the touched users
+        (bucket-pruned point lookups), merge the batch's first session
+        into a still-open previous session when the gap allows, renumber,
+        then MERGE the session rows and the new open state.  Commit order:
+        ``user_sessions`` first, ``session_state`` LAST as the epoch
+        marker — a crash replay recomputes the identical merge.  State
+        stays O(active users); session history appends.  Contract (same
+        as the streaming operator's watermark): batches arrive time-
+        ordered per user.
+        """
+        from amundsendatabuilder_spark.functions.sessionize import (
+            sessionize_events,
+        )
+
+        if self.session_state.last_epoch("sessions") >= epoch_id:
+            return {"epoch": epoch_id, "skipped": True}
+        gap_us = int(gap_minutes) * 60 * 1_000_000
+
+        b = (
+            sessionize_events(events, gap_minutes=gap_minutes)
+            .select(
+                F.col("user_id").cast("long").alias("user_id"),
+                F.col("session_seq").cast("long").alias("session_seq"),
+                "start_us", "end_us",
+                F.col("n_events").cast("long").alias("n_events"),
+                F.expr("CAST(sum_value * 100 AS BIGINT)").alias("sum_cents"),
+            )
+        )
+        b = self._mat(b)
+        users = b.select("user_id").dropDuplicates(["user_id"])
+        prev = self.session_state.read_for_keys(
+            users, columns=["session_seq", "start_us", "end_us",
+                            "n_events", "sum_cents"],
+        ).select(
+            "user_id", F.col("session_seq").alias("p_seq"),
+            F.col("start_us").alias("p_start"), F.col("end_us").alias("p_end"),
+            F.col("n_events").alias("p_n"), F.col("sum_cents").alias("p_sum"),
+        )
+        # per-user merge decision off the batch's FIRST session (strictly-
+        # greater-than-gap starts a new session, so <= gap merges)
+        dec = (
+            b.where(F.col("session_seq") == 1)
+            .join(prev, "user_id", "left")
+            .select(
+                "user_id",
+                (F.col("p_seq").isNotNull()
+                 & (F.col("start_us") - F.col("p_end") <= F.lit(gap_us))
+                 ).alias("m"),
+                F.coalesce(F.col("p_seq"), F.lit(0)).alias("off"),
+                "p_start", "p_end", "p_n", "p_sum",
+            )
+        )
+        first = F.col("session_seq") == 1
+        merged = F.col("m") & first
+        out = (
+            b.join(dec, "user_id")
+            .select(
+                "user_id",
+                (F.col("session_seq") + F.col("off")
+                 - F.when(F.col("m"), F.lit(1)).otherwise(F.lit(0))
+                 ).alias("session_seq"),
+                F.when(merged, F.least("p_start", "start_us"))
+                .otherwise(F.col("start_us")).alias("start_us"),
+                F.when(merged, F.greatest("p_end", "end_us"))
+                .otherwise(F.col("end_us")).alias("end_us"),
+                (F.col("n_events")
+                 + F.when(merged, F.col("p_n")).otherwise(F.lit(0))
+                 ).alias("n_events"),
+                (F.col("sum_cents")
+                 + F.when(merged, F.col("p_sum")).otherwise(F.lit(0))
+                 ).alias("sum_cents"),
+            )
+        )
+        out = self._mat(out)
+        state = (
+            out.groupBy("user_id")
+            .agg(F.max(F.struct("session_seq", "start_us", "end_us",
+                                "n_events", "sum_cents")).alias("s"))
+            .select("user_id", "s.session_seq", "s.start_us", "s.end_us",
+                    "s.n_events", "s.sum_cents")
+        )
+
+        tag = f"sessions_epoch_{epoch_id}"
+        jobs = {
+            "sessions": (self.user_sessions, out, {}),
+            "state": (self.session_state, state, {}),
+        }
+        preps = {
+            name: tbl.prepare_upsert(df, epoch_id, channel="sessions",
+                                     publish_tag=tag,
+                                     materialize_batch=False, **kw)
+            for name, (tbl, df, kw) in jobs.items()
+        }
+        res: dict[str, Any] = {"epoch": epoch_id, "publish_tag": tag}
+        for name in ("sessions", "state"):
+            p = preps[name]
+            res[name] = (
+                {"skipped_epoch": epoch_id} if p is None
+                else jobs[name][0].commit_prepared(p)
+            )
+        self._maybe_compact(epoch_id)
+        return res
 
     def apply_catalog(self, scan: DataFrame, epoch_id: int,
                       fs_last_updated: DataFrame | None = None) -> dict[str, Any]:
@@ -646,7 +802,20 @@ class CDCPipeline:
             nodes = nodes.unionByName(table_last_updated_nodes(lu))
             rels = rels.unionByName(table_last_updated_relations(lu))
 
-        tag = f"catalog_epoch_{epoch_id}"
+        return self.apply_graph(nodes, rels, epoch_id, channel="catalog")
+
+    def apply_graph(self, nodes: DataFrame, rels: DataFrame, epoch_id: int,
+                    channel: str) -> dict[str, Any]:
+        """Commit one idempotent epoch of already-expanded graph rows into
+        the node/relation tables under ``channel`` (publish_tag =
+        ``{channel}_epoch_{id}``) — the generic Neo4jCsvPublisher-MERGE
+        analog shared by the catalog scan and the CSV fixture ingest."""
+        # epoch marker = the LAST-committed table (rels), same rule as
+        # apply_batch: a crash between the nodes and rels commits must not
+        # look complete (prepare_upsert's per-table ledger recovers rels)
+        if self.graph_relations.last_epoch(channel) >= epoch_id:
+            return {"epoch": epoch_id, "skipped": True}
+        tag = f"{channel}_epoch_{epoch_id}"
         jobs = {
             "nodes": (self.graph_nodes,
                       validate_nodes(nodes).drop("scope_key"),
@@ -655,7 +824,7 @@ class CDCPipeline:
                      validate_relations(rels).drop("scope_key"), {}),
         }
         preps = {
-            name: tbl.prepare_upsert(b, epoch_id, channel="catalog",
+            name: tbl.prepare_upsert(b, epoch_id, channel=channel,
                                      publish_tag=tag,
                                      materialize_batch=False, **kw)
             for name, (tbl, b, kw) in jobs.items()

@@ -117,7 +117,11 @@ cores, work, chunks_json, warm_json = (
 chunks = json.loads(chunks_json)
 warm_chunks = json.loads(warm_json)
 os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
-os.environ["SPARK_CDC_MAT_BATCH"] = "1"
+# r5: batch materialization OFF in the replay arms — the map-heavy node/
+# rel expansion copies are pure memory-bandwidth cost and membw is the
+# non-scaling resource on this host (see pipeline.apply_batch comment);
+# override with SPARK_CDC_MAT_BATCH for A/B runs
+os.environ.setdefault("SPARK_CDC_MAT_BATCH", "0")
 # IDENTICAL JOB AT BOTH WIDTHS: on a real cluster the plan (shuffle
 # partitioning, file layout, engine concurrency) is sized to the DATA and
 # held fixed while executors scale N->4N; deriving task counts from the

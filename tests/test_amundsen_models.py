@@ -185,10 +185,12 @@ def test_column_usage_golden(spark):
         "column_name string, user_email string, read_count int",
     )
     rels = rel_dicts(am.column_usage_relations(usage))
+    # reference wire direction: type=TABLE_USER_RELATION_TYPE='READ_BY'
+    # (column_usage_model.py:75-85)
     assert rels == [{
         "START_KEY": "hive://gold.scm/tbl", "START_LABEL": "Table",
         "END_KEY": "john@example.com", "END_LABEL": "User",
-        "TYPE": "READ", "REVERSE_TYPE": "READ_BY", "read_count:UNQUOTED": 100,
+        "TYPE": "READ_BY", "REVERSE_TYPE": "READ", "read_count:UNQUOTED": 100,
     }]
 
 

@@ -328,3 +328,56 @@ def test_bigquery_watermark_scan(spark):
     # lands in the Watermark node contract
     keys = {r["key"] for r in watermark_nodes(wm).collect()}
     assert "bigquery://proj.web/ga_sessions_/low_watermark/" in keys
+
+
+def test_atlas_user_spec_generalizes_compiler(spark):
+    """VERDICT r04 directive 6: the mapping-spec compiler over a SECOND
+    entity type (the reference registry is keyed by type, :81,157)."""
+    from amundsendatabuilder_spark.sources.atlas_search import (
+        ENTITY_SCHEMA_BY_TYPE,
+        FIELDS_MAPPING_SPEC_BY_TYPE,
+        atlas_search_scan,
+    )
+
+    def user(i):
+        return {
+            "typeName": "User",
+            "status": "ACTIVE" if i % 2 == 0 else "DELETED",
+            "attributes": {
+                "qualifiedName": f"u{i}@example.org",
+                "name": f"User Num{i}",
+                "firstName": "User",
+                "lastName": f"Num{i}",
+                "githubUsername": f"gh{i}",
+                "employeeType": "swe",
+                "slackId": f"s{i}",
+                "roleName": "eng",
+                "totalRead": i * 10,
+                "totalOwn": 0,
+                "totalFollow": None,
+            },
+            "relationshipAttributes": {
+                "team": {"displayText": "Team A"},
+                "manager": {"displayText": "boss@example.org"},
+            },
+        }
+
+    users = {f"g{i}": user(i) for i in range(4)}
+    df = atlas_search_scan(
+        spark, lambda: 4,
+        lambda off, lim: [f"g{i}" for i in range(off, min(off + lim, 4))],
+        lambda guids: [users[g] for g in guids],
+        spec=FIELDS_MAPPING_SPEC_BY_TYPE["User"],
+        entity_schema=ENTITY_SCHEMA_BY_TYPE["User"],
+        search_chunk_size=10, details_chunk_size=10)
+    rows = {r["email"]: r for r in df.collect()}
+    assert len(rows) == 4
+    r = rows["u1@example.org"]
+    assert r["full_name"] == "User Num1"
+    assert r["team_name"] == "Team A"
+    assert r["manager_email"] == "boss@example.org"
+    assert r["is_active"] is False            # DELETED status
+    assert rows["u2@example.org"]["is_active"] is True
+    assert r["total_read"] == 10
+    assert r["total_own"] == 0
+    assert r["total_follow"] == 0             # null -> default 0
