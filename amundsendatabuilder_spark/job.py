@@ -40,6 +40,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="generate N synthetic changelog events into --source")
     p.add_argument("--chunks", type=int, default=8)
     p.add_argument("--vacuum-tombstones-ms", type=int, default=0)
+    p.add_argument("--expire-snapshots", type=int, default=0, metavar="N",
+                   help="after the run, drop manifests older than the last"
+                        " N versions and delete unreferenced data files"
+                        " (Iceberg expire_snapshots + remove_orphan_files)")
+    p.add_argument("--expire-grace-ms", type=int, default=3_600_000)
     p.add_argument("--catalog-scan", action="store_true",
                    help="scan the session catalog (DESCRIBE walk + fs probe)"
                         " into the graph tables as one catalog epoch")
@@ -254,6 +259,10 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.vacuum_tombstones_ms:
             print(json.dumps(pipe.vacuum_tombstones(args.vacuum_tombstones_ms)))
+        if args.expire_snapshots:
+            print(json.dumps(pipe.expire_snapshots(
+                keep_last=args.expire_snapshots,
+                orphan_grace_ms=args.expire_grace_ms)))
         return 0
 
 

@@ -871,6 +871,74 @@ class SnapshotTable:
         )
         return metrics
 
+    def expire_snapshots(
+        self,
+        keep_last: int = 10,
+        orphan_grace_ms: int = 3_600_000,
+    ) -> dict[str, Any]:
+        """Reclaim storage + metadata: drop manifests older than the last
+        ``keep_last`` versions and delete every data file no kept manifest
+        references — the Iceberg ``expire_snapshots`` +
+        ``remove_orphan_files`` pair, which the 10^10-event posture needs
+        (per-epoch commits across the channel tables otherwise grow the
+        meta dir and dead post-compaction files without bound).
+
+        Unreferenced files younger than ``orphan_grace_ms`` are kept: a
+        CONCURRENT prepare_upsert writes its data files BEFORE its commit
+        references them, so fresh orphans may be an in-flight commit (the
+        same age-threshold rule Iceberg's orphan-file action uses).
+        Time-travel to expired versions is gone; readers pinned to a kept
+        manifest are unaffected.  Driver-side metadata traffic only."""
+        import re as _re
+
+        cur_v = self.current().version
+        versions = sorted(
+            int(m.group(1))
+            for f in os.listdir(self.meta_dir)
+            if (m := _re.fullmatch(r"v(\d+)\.json", f))
+        )
+        cutoff = cur_v - max(1, int(keep_last)) + 1
+        keep = [v for v in versions if v >= cutoff]
+        drop = [v for v in versions if v < cutoff]
+        referenced: set[str] = set()
+        for v in keep:
+            s = Snapshot.from_json(
+                self.io.read(os.path.join(self.meta_dir, f"v{v}.json")))
+            for fl in list(s.files.values()) + list(s.delta_files.values()):
+                referenced.update(os.path.abspath(p) for p in fl)
+        now = time.time()
+        removed_files = removed_bytes = 0
+        for droot, _dirs, names in os.walk(self.data_dir):
+            for n in names:
+                p = os.path.abspath(os.path.join(droot, n))
+                if p in referenced:
+                    continue
+                try:
+                    st = os.stat(p)
+                    if (now - st.st_mtime) * 1000 < orphan_grace_ms:
+                        continue
+                    os.remove(p)
+                    removed_files += 1
+                    removed_bytes += st.st_size
+                except OSError:
+                    continue
+        for v in drop:
+            try:
+                os.remove(os.path.join(self.meta_dir, f"v{v}.json"))
+            except OSError:
+                pass
+        # prune now-empty data dirs (cosmetic; ignore races)
+        for droot, dirs, names in os.walk(self.data_dir, topdown=False):
+            if droot != self.data_dir and not dirs and not names:
+                try:
+                    os.rmdir(droot)
+                except OSError:
+                    pass
+        return {"expired_manifests": len(drop),
+                "kept_manifests": len(keep),
+                "removed_files": removed_files,
+                "removed_bytes": removed_bytes}
+
     def replace_all(self, df: DataFrame, publish_tag: str = "snapshot") -> dict[str, Any]:
         """CREATE-OR-REPLACE: rewrite the ENTIRE table content from ``df`` and
         publish it as ONE atomic manifest swap — the engine-grade form of

@@ -862,6 +862,20 @@ class CDCPipeline:
         """Live (non-tombstoned) entity rows — the user-facing final state."""
         return self.repo_files.read().where(~F.col("is_deleted"))
 
+    def expire_snapshots(self, keep_last: int = 10,
+                         orphan_grace_ms: int = 3_600_000) -> dict[str, Any]:
+        """Expire old manifests + orphaned data files on EVERY channel
+        table (see SnapshotTable.expire_snapshots) — the maintenance call
+        a long-running 10^10-event deployment schedules alongside
+        compaction and tombstone vacuum."""
+        out: dict[str, Any] = {}
+        for tbl in (self.repo_files, self.graph_nodes, self.graph_relations,
+                    self.search_documents, self.table_usage,
+                    self.user_sessions, self.session_state):
+            out[os.path.basename(tbl.root)] = tbl.expire_snapshots(
+                keep_last=keep_last, orphan_grace_ms=orphan_grace_ms)
+        return out
+
     def vacuum_tombstones(self, older_than_ms: int) -> dict:
         """Physically drop delete tombstones whose last update is older than
         the out-of-orderness bound (safe: no event older than the bound can

@@ -322,3 +322,44 @@ def test_reopen_adopts_on_disk_buckets(spark, warehouse):
         lake.create_table("t", SCHEMA, ["key"], n_buckets=4, mode="mor")
     with pytest.raises(ValueError, match="different structure"):
         lake.create_table("t", SCHEMA, ["name"], n_buckets=4)
+
+
+def test_expire_snapshots_reclaims_dead_files(spark, warehouse):
+    """Iceberg expire_snapshots + remove_orphan_files analog: old manifests
+    drop, data files only kept manifests reference are deleted (post-grace),
+    fresh orphans survive, and the current state is untouched."""
+    import os
+
+    lake, t = _mk(spark, warehouse, n_buckets=4)
+    for e in range(6):
+        t.merge_upsert(
+            spark.createDataFrame([("a", f"v{e}", e), (f"k{e}", "X", e)], SCHEMA), e)
+    before = rows(t)
+    n_manifests = lambda: len(
+        [f for f in os.listdir(t.meta_dir) if f.endswith(".json")])
+    n_files = lambda: sum(
+        len(fs) for _, _, fs in os.walk(t.data_dir))
+    assert n_manifests() == 7  # v0..v6
+    files_before = n_files()
+
+    # a fresh orphan (simulating an in-flight commit's data file)
+    orphan = os.path.join(t.data_dir, "inflight.parquet")
+    with open(orphan, "w") as f:
+        f.write("x")
+
+    m = t.expire_snapshots(keep_last=2, orphan_grace_ms=3_600_000)
+    assert m["expired_manifests"] == 5 and m["kept_manifests"] == 2
+    assert os.path.exists(orphan)  # younger than the grace window
+    assert rows(t) == before      # current state untouched
+    assert n_manifests() == 2
+
+    # past the grace window the orphan goes too
+    m2 = t.expire_snapshots(keep_last=2, orphan_grace_ms=0)
+    assert not os.path.exists(orphan)
+    assert rows(t) == before
+    # CoW keeps only the live buckets: every remaining file is referenced
+    snap = t.current()
+    referenced = {p for fl in snap.files.values() for p in fl}
+    on_disk = {os.path.join(r, f) for r, _, fs in os.walk(t.data_dir) for f in fs}
+    assert on_disk == {os.path.abspath(p) for p in referenced} or on_disk == referenced
+    assert n_files() < files_before
