@@ -357,9 +357,15 @@ def test_expire_snapshots_reclaims_dead_files(spark, warehouse):
     m2 = t.expire_snapshots(keep_last=2, orphan_grace_ms=0)
     assert not os.path.exists(orphan)
     assert rows(t) == before
-    # CoW keeps only the live buckets: every remaining file is referenced
-    snap = t.current()
-    referenced = {p for fl in snap.files.values() for p in fl}
-    on_disk = {os.path.join(r, f) for r, _, fs in os.walk(t.data_dir) for f in fs}
-    assert on_disk == {os.path.abspath(p) for p in referenced} or on_disk == referenced
+    # every remaining file is referenced by one of the KEPT manifests
+    from amundsendatabuilder_spark.plans.lake import Snapshot
+    referenced = set()
+    for v in (t.current().version - 1, t.current().version):
+        s = Snapshot.from_json(
+            t.io.read(os.path.join(t.meta_dir, f"v{v}.json")))
+        referenced |= {os.path.abspath(p)
+                       for fl in s.files.values() for p in fl}
+    on_disk = {os.path.abspath(os.path.join(r, f))
+               for r, _, fs in os.walk(t.data_dir) for f in fs}
+    assert on_disk == referenced
     assert n_files() < files_before
