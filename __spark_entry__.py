@@ -843,6 +843,53 @@ def q_asof_signup(spark, sf_dir):
     )
 
 
+def q_range_join_events(spark, sf_dir):
+    """Range (interval) join (functions/ranges.range_join): every event
+    matched to the 1-hour exposure windows opened by its user's
+    event_id%11==0 events — the binned equi-join plan (bounded interval
+    fan-out, ONE hash shuffle, no BroadcastNestedLoopJoin) vs DuckDB's
+    native inequality join as the oracle."""
+    from amundsendatabuilder_spark.functions.ranges import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    intervals = ev.where(F.col("event_id") % 11 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        F.expr("ts + INTERVAL 1 HOUR").alias("end_ts"),
+    )
+    pts = ev.select("event_id", "user_id", "ts")
+    out = range_join(pts, intervals, key="user_id", ts_col="ts",
+                     right_cols=["interval_id"],
+                     bin_width_us=3_600_000_000)
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    return out.select(
+        "event_id",
+        F.col("interval_id_r").alias("interval_id"),
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.col("start_ts_us_r").alias("start_us"),
+    )
+
+
+def q_rollup_daily(spark, sf_dir):
+    """Hypertable-style rollup cascade (functions/rollup): hourly
+    continuous aggregate from raw events, daily re-aggregated from the
+    HOURLY level (never re-reading raw) — decomposable parts
+    (count/sum/min/max in integer cents) make the cascade bit-identical
+    to DuckDB's direct raw→daily aggregate."""
+    from amundsendatabuilder_spark.functions.rollup import (
+        DAY_US, HOUR_US, coarsen, time_rollup)
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = time_rollup(ev, ts_col="ts", bucket_us=HOUR_US,
+                         keys=["event_type"], value_col="value")
+    daily = coarsen(hourly, DAY_US, keys=["event_type"])
+    return daily.select("bucket_us", "event_type", "n_rows",
+                        "sum_cents", "min_cents", "max_cents")
+
+
 def q_doc_chunks(spark, sf_dir):
     """Overlapping token-window chunking (functions/curation.
     chunk_documents, size=32 stride=24): shuffle-free per-row explode —
@@ -1116,6 +1163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "dedup_components": q_dedup_components,
         "asof_signup": q_asof_signup,
+        "range_join_events": q_range_join_events,
+        "rollup_daily": q_rollup_daily,
         "doc_chunks": q_doc_chunks,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -1785,6 +1834,28 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.signup_event_id, -1) AS signup_event_id
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_events": """
+            WITH i AS (
+              SELECT event_id AS interval_id, user_id,
+                     ts AS s, ts + INTERVAL 1 HOUR AS e
+              FROM events WHERE event_id % 11 = 0)
+            SELECT ev.event_id, i.interval_id, ev.user_id,
+                   epoch_us(ev.ts) AS ts_us,
+                   epoch_us(i.s) AS start_us
+            FROM events ev JOIN i
+              ON ev.user_id = i.user_id
+             AND ev.ts >= i.s AND ev.ts < i.e
+        """,
+        "rollup_daily": """
+            SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket_us,
+                   event_type,
+                   COUNT(*) AS n_rows,
+                   CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+                   min(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS min_cents,
+                   max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_cents
+            FROM events
+            GROUP BY 1, 2
         """,
         "doc_chunks": """
             WITH w AS (
