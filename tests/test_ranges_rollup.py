@@ -66,6 +66,29 @@ def test_range_join_vs_reference(spark):
     assert len(got) == len(got_pairs)
 
 
+def test_range_join_randomized_vs_reference(spark):
+    # Seeded fuzz across awkward bin widths (non-divisors of interval
+    # lengths, width 1, width >> span): the binned plan must equal the
+    # brute-force point-in-interval semantics for every width.
+    import random
+
+    rng = random.Random(7)
+    span = 500_000
+    points = [(rng.randint(1, 4), rng.randint(0, span)) for _ in range(120)]
+    intervals = []
+    for _ in range(40):
+        s = rng.randint(0, span)
+        intervals.append((rng.randint(1, 4), s, s + rng.randint(0, 40_000)))
+    pdf, idf = _points(spark, points), _intervals(spark, intervals)
+    want = _py_range_join(points, intervals)
+    for bw in (1_777, 40_000, 10_000_000, 1):
+        got = range_join(pdf, idf, key="user_id",
+                         right_cols=["interval_id"], bin_width_us=bw,
+                         max_bins_per_interval=10**9).collect()
+        pairs = {(r["event_id"], r["interval_id_r"]) for r in got}
+        assert pairs == want and len(got) == len(pairs), f"bw={bw}"
+
+
 def test_range_join_left_keeps_unmatched(spark):
     H = HOUR_US
     pts = _points(spark, [(1, 5), (2, 5)])
