@@ -534,6 +534,71 @@ def q_cdc_search_docs(spark, sf_dir):
     )
 
 
+def q_cdc_changes(spark, sf_dir):
+    """Incremental change feed (lake as a CDC SOURCE): replay two epochs of
+    a doc changelog, then diff the search_documents table's two committed
+    snapshots with SnapshotTable.changes — insert/update/delete per key,
+    post-image on insert/update, pre-image on delete (Delta CDF / Iceberg
+    changelog-scan semantics; the reference's downstream consumers re-scan
+    the whole graph, neo4j_search_data_extractor.py:24-42 — this is the
+    O(changed-keys) replacement). Only buckets whose manifest file lists
+    differ between the snapshots are scanned. The oracle recomputes the same
+    diff declaratively from the two epochs' event derivations."""
+    from amundsendatabuilder_spark.streaming.pipeline import CDCPipeline
+
+    d = _t(spark, sf_dir, "documents")
+    base_cols = [
+        F.col("source").alias("repo"),
+        F.col("lang"),
+        F.lit(0).alias("shard"),
+    ]
+    e0 = d.select(
+        F.col("doc_id").alias("event_id"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("event_ts"),
+        F.lit("insert").alias("op"),
+        *base_cols,
+        F.concat(F.lit("doc_"), F.col("doc_id")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("text").alias("content"),
+    )
+    ts1 = (F.to_timestamp(F.lit("2024-02-01 00:00:00"))
+           + F.make_interval(secs=F.col("doc_id").cast("double")))
+    dels = d.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("event_id"), ts1.alias("event_ts"),
+        F.lit("delete").alias("op"), *base_cols,
+        F.concat(F.lit("doc_"), F.col("doc_id")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.lit(None).cast("string").alias("content"),
+    )
+    upds = d.where((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 0)).select(
+        F.col("doc_id").alias("event_id"), ts1.alias("event_ts"),
+        F.lit("insert").alias("op"), *base_cols,
+        F.concat(F.lit("doc_"), F.col("doc_id")).alias("path"),
+        F.md5(F.concat(F.col("text"), F.lit(":v2"))).alias("commit"),
+        F.concat(F.col("text"), F.lit(":v2")).alias("content"),
+    )
+    news = d.where(F.col("doc_id") % 9 == 0).select(
+        F.col("doc_id").alias("event_id"), ts1.alias("event_ts"),
+        F.lit("insert").alias("op"), *base_cols,
+        F.concat(F.lit("docx_"), F.col("doc_id")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("text").alias("content"),
+    )
+    wh = tempfile.mkdtemp(prefix="cdc_ch_")
+    pipe = CDCPipeline(spark, wh, n_buckets=16)
+    pipe.apply_batch(e0, 0)
+    v1 = pipe.search_documents.current().version
+    pipe.apply_batch(dels.unionByName(upds).unionByName(news), 1)
+    v2 = pipe.search_documents.current().version
+    return pipe.search_documents.changes(v1, v2).select(
+        "key", "schema", "name",
+        F.concat_ws("|", F.col("tags")).alias("tags"),
+        "last_updated_timestamp",
+        F.col("_change_type").alias("change_type"),
+    )
+
+
 def q_metastore_regroup(spark, sf_dir):
     """JDBC metadata-extractor regroup: per-column warehouse rows → ordered
     TableMetadata rows (HiveTableMetadataExtractor regroup,
@@ -1179,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_search_docs": q_user_search_docs,
         "cdc_replay_tables": q_cdc_replay_tables,
         "cdc_search_docs": q_cdc_search_docs,
+        "cdc_changes": q_cdc_changes,
         "cdc_usage_rels": q_cdc_usage_rels,
     }
 
@@ -1453,6 +1519,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id % 13 + 1) + (doc_id % 5 + 1) AS BIGINT) AS total_usage,
                    CAST(CASE WHEN (doc_id % 11) = ((doc_id * 3 + 1) % 11) THEN 1 ELSE 2 END AS BIGINT) AS unique_usage
             FROM documents WHERE doc_id % 7 != 0
+        """,
+        "cdc_changes": """
+            SELECT 'repofs://gold.' || source || '/doc_' || doc_id AS key,
+                   source AS schema, 'doc_' || doc_id AS name, lang AS tags,
+                   CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') + doc_id AS BIGINT) AS last_updated_timestamp,
+                   'delete' AS change_type
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT 'repofs://gold.' || source || '/doc_' || doc_id,
+                   source, 'doc_' || doc_id, lang,
+                   CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') + doc_id AS BIGINT),
+                   'update'
+            FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 != 0
+            UNION ALL
+            SELECT 'repofs://gold.' || source || '/docx_' || doc_id,
+                   source, 'docx_' || doc_id, lang,
+                   CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') + doc_id AS BIGINT),
+                   'insert'
+            FROM documents WHERE doc_id % 9 = 0
         """,
         "metastore_regroup": """
             WITH cols AS (

@@ -277,14 +277,167 @@ class SnapshotTable:
             return [f for src in srcs for fl in src.values() for f in fl]
         return [f for src in srcs for b in buckets for f in src.get(str(b), [])]
 
-    def read(self) -> DataFrame:
-        snap = self.current()
+    def _read_snapshot(self, snap: Snapshot,
+                       buckets: list[int] | None = None) -> DataFrame:
+        """Resolved (LWW for MoR, plain for CoW) content of one snapshot,
+        optionally restricted to a bucket subset (manifest pruning)."""
         if snap.mode == "mor":
             raw = self._read_files(
-                self._all_files(snap), self._mor_schema(snap.schema())
+                self._all_files(snap, buckets), self._mor_schema(snap.schema())
             )
             return self._resolve(raw, snap.schema(), snap.key_cols)
-        return self._read_files(self._all_files(snap), snap.schema())
+        return self._read_files(self._all_files(snap, buckets), snap.schema())
+
+    def snapshot_at(self, version: int) -> Snapshot:
+        """Load a pinned snapshot manifest (time travel). Expired versions
+        (removed by ``expire_snapshots``) raise with the retention hint."""
+        path = os.path.join(self.meta_dir, f"v{version}.json")
+        if not self.io.exists(path):
+            raise ValueError(
+                f"snapshot v{version} of {self.root} does not exist or was "
+                f"expired by expire_snapshots (current is "
+                f"v{self.current().version}; raise keep_last to retain more "
+                f"time-travel history)"
+            )
+        return Snapshot.from_json(self.io.read(path))
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current table state, or — with ``version`` — the state AS OF that
+        committed snapshot (Iceberg ``VERSION AS OF`` time travel: manifests
+        are immutable and data files append-only until expiry, so a pinned
+        read is just the old manifest's file list resolved the same way)."""
+        snap = self.current() if version is None else self.snapshot_at(version)
+        return self._read_snapshot(snap)
+
+    def history(self) -> list[dict[str, Any]]:
+        """Commit log of every retained snapshot, oldest first — version,
+        parent, commit time, mode, per-channel epoch ledger, file counts, and
+        the commit's recorded metrics (rows applied / conflicts / watermark).
+        Metadata-only: reads the tiny JSON manifests, never data files.
+        The engine-grade analog of Iceberg's ``snapshots`` metadata table."""
+        import re as _re
+
+        out = []
+        for f in sorted(os.listdir(self.meta_dir)):
+            m = _re.fullmatch(r"v(\d+)\.json", f)
+            if not m:
+                continue
+            s = Snapshot.from_json(self.io.read(os.path.join(self.meta_dir, f)))
+            out.append({
+                "version": s.version,
+                "parent": s.parent,
+                "committed_at_ms": s.committed_at_ms,
+                "mode": s.mode,
+                "epochs": dict(s.epochs),
+                "n_base_files": sum(len(v) for v in s.files.values()),
+                "n_delta_files": sum(len(v) for v in s.delta_files.values()),
+                "metrics": dict(s.metrics),
+            })
+        return sorted(out, key=lambda d: d["version"])
+
+    @staticmethod
+    def _comparable(c, dt: T.DataType):
+        """Rewrite a column into a shape Spark can test equality on: map
+        columns (node attribute maps) are not comparable, so they become
+        key-sorted entry arrays; arrays/structs recurse. Used by ``changes``
+        to detect payload-identical rewrites (e.g. compaction) as no-ops."""
+        if isinstance(dt, T.MapType):
+            ent = F.transform(
+                F.map_entries(c),
+                lambda e: F.struct(
+                    SnapshotTable._comparable(e["key"], dt.keyType).alias("key"),
+                    SnapshotTable._comparable(e["value"], dt.valueType).alias("value"),
+                ),
+            )
+            return F.sort_array(ent)
+        if isinstance(dt, T.ArrayType):
+            return F.transform(
+                c, lambda e: SnapshotTable._comparable(e, dt.elementType))
+        if isinstance(dt, T.StructType):
+            return F.struct(*[
+                SnapshotTable._comparable(c[f.name], f.dataType).alias(f.name)
+                for f in dt.fields
+            ])
+        return c
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental change feed between two committed snapshots — the lake
+        as a CDC *source* (Delta CDF / Iceberg changelog-scan analog): one row
+        per key whose resolved state differs, with ``_change_type`` in
+        {insert, update, delete}. Inserts/updates carry the post-image,
+        deletes the pre-image (Delta CDF convention). Downstream incremental
+        consumers (search-doc rebuilds, replication) process O(changed keys),
+        not O(table).
+
+        Scale shape: only buckets whose manifest file lists differ between
+        the two snapshots are read at all — at the 100 TB design point a
+        window touching 1% of buckets scans ~1% of the table twice; the diff
+        is one null-safe full-outer join on the key (both sides share the
+        bucket partitioning) and payload equality runs JVM-side on
+        map-canonicalized structs. Payload-identical rewrites (compaction,
+        idempotent re-upserts) emit nothing — the feed is logical, not
+        physical."""
+        a = self.snapshot_at(from_version)
+        b = (self.current() if to_version is None
+             else self.snapshot_at(to_version))
+        if b.version < a.version:
+            raise ValueError(
+                f"changes: to_version v{b.version} precedes from_version "
+                f"v{a.version}")
+        if a.key_cols != b.key_cols or a.n_buckets != b.n_buckets:
+            raise ValueError("changes: snapshots disagree on key layout")
+        keys = b.key_cols
+        schema = b.schema()  # additive evolution: superset of a's
+        payload = [f for f in schema.fields if f.name not in keys]
+        touched = [
+            bk for bk in
+            set(a.files) | set(b.files) | set(a.delta_files) | set(b.delta_files)
+            if a.files.get(bk, []) != b.files.get(bk, [])
+            or a.delta_files.get(bk, []) != b.delta_files.get(bk, [])
+        ]
+        if not touched:
+            return self.spark.createDataFrame(
+                [], T.StructType(schema.fields
+                                 + [T.StructField("_change_type", T.StringType())]))
+        bks = [int(x) for x in touched]
+        old = self._read_snapshot(a, bks)
+        # align the old side to the evolved schema (missing columns → null,
+        # same as reading old files through the new schema)
+        for f in schema.fields:
+            if f.name not in old.columns:
+                old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+        old = old.select(*[f.name for f in schema.fields])
+        new = self._read_snapshot(b, bks)
+        o = old.withColumn("__o_present", F.lit(True)).alias("o")
+        n = new.withColumn("__n_present", F.lit(True)).alias("n")
+        on = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+        joined = o.join(n, on, "full_outer")
+        o_pay = F.struct(*[
+            self._comparable(F.col(f"o.{f.name}"), f.dataType).alias(f.name)
+            for f in payload]) if payload else F.lit(0)
+        n_pay = F.struct(*[
+            self._comparable(F.col(f"n.{f.name}"), f.dataType).alias(f.name)
+            for f in payload]) if payload else F.lit(0)
+        o_here = F.coalesce(F.col("o.__o_present"), F.lit(False))
+        n_here = F.coalesce(F.col("n.__n_present"), F.lit(False))
+        ct = (
+            F.when(~o_here & n_here, F.lit("insert"))
+            .when(o_here & ~n_here, F.lit("delete"))
+            .when(~o_pay.eqNullSafe(n_pay), F.lit("update"))
+        )
+        side = F.when(ct == "delete", F.lit("o")).otherwise(F.lit("n"))
+        return (
+            joined.withColumn("_change_type", ct)
+            .where(F.col("_change_type").isNotNull())
+            .select(
+                *[
+                    F.when(side == "o", F.col(f"o.{c}"))
+                    .otherwise(F.col(f"n.{c}")).alias(c)
+                    for c in [f.name for f in schema.fields]
+                ],
+                "_change_type",
+            )
+        )
 
     def last_epoch(self, channel: str) -> int:
         return self.current().epochs.get(channel, -1)
