@@ -599,6 +599,25 @@ def q_cdc_changes(spark, sf_dir):
     )
 
 
+def q_lake_read_where(spark, sf_dir):
+    """Predicate scan planning over the lake: read_where prunes data files
+    by the per-file column bounds recorded in manifests (Iceberg metadata
+    file filtering) and then applies the same predicates as real pushed-down
+    Spark filters, so the answer is exact whatever the stats coverage. Runs
+    a key-range + tombstone-excluding conjunction over the replayed
+    repo_files table; the oracle recomputes it declaratively (string BETWEEN
+    is plain UTF-8 comparison in both engines)."""
+    pipe = _run_cdc(spark, sf_dir)
+    rows = pipe.repo_files.read_where([
+        ("path", "between", ("doc_100", "doc_199")),
+        ("is_deleted", "=", False),
+    ])
+    return rows.select(
+        "repo", "path", "commit", "content_sha256",
+        F.col("last_updated_epoch").alias("last_updated_epoch"),
+    )
+
+
 def q_metastore_regroup(spark, sf_dir):
     """JDBC metadata-extractor regroup: per-column warehouse rows → ordered
     TableMetadata rows (HiveTableMetadataExtractor regroup,
@@ -1245,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_tables": q_cdc_replay_tables,
         "cdc_search_docs": q_cdc_search_docs,
         "cdc_changes": q_cdc_changes,
+        "lake_read_where": q_lake_read_where,
         "cdc_usage_rels": q_cdc_usage_rels,
     }
 
@@ -1519,6 +1539,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id % 13 + 1) + (doc_id % 5 + 1) AS BIGINT) AS total_usage,
                    CAST(CASE WHEN (doc_id % 11) = ((doc_id * 3 + 1) % 11) THEN 1 ELSE 2 END AS BIGINT) AS unique_usage
             FROM documents WHERE doc_id % 7 != 0
+        """,
+        "lake_read_where": """
+            SELECT source AS repo,
+                   'doc_' || doc_id AS path,
+                   md5(text) AS commit,
+                   sha256(text) AS content_sha256,
+                   CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') + doc_id AS BIGINT) AS last_updated_epoch
+            FROM documents
+            WHERE doc_id % 7 != 0
+              AND 'doc_' || doc_id BETWEEN 'doc_100' AND 'doc_199'
         """,
         "cdc_changes": """
             SELECT 'repofs://gold.' || source || '/doc_' || doc_id AS key,

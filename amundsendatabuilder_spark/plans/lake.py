@@ -89,6 +89,12 @@ class Snapshot:
     mode: str = "cow"                    # cow | mor
     delta_files: dict[str, list[str]] = field(default_factory=dict)
     seq: int = 0                         # monotonic merge counter (mor order)
+    # file -> {col: [lower_bound, upper_bound]} from parquet footers; string
+    # bounds are truncated (lower) / truncated-and-bumped (upper) à la
+    # Iceberg, so they stay small but remain valid bounds. Absent for
+    # manifests written before stats collection existed (pruning degrades
+    # to keep-everything, never to wrong answers).
+    file_stats: dict[str, dict[str, list]] = field(default_factory=dict)
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
@@ -169,6 +175,89 @@ class SnapshotTable:
             v += 1
         return Snapshot.from_json(self.io.read(os.path.join(self.meta_dir, f"v{v}.json")))
 
+    # ---- file-level column statistics (scan planning) -------------------
+
+    STATS_TRUNC = 16  # Iceberg-style string-bound truncation length
+
+    @staticmethod
+    def _trunc_bounds(mn: str, mx: str) -> list | None:
+        """Truncate string bounds: lower truncates (still <= true min);
+        upper truncates then bumps the last kept code point (still >= true
+        max). Unbumpable upper (U+10FFFF run) drops the column's stats."""
+        k = SnapshotTable.STATS_TRUNC
+        lo = mn[:k]
+        if len(mx) <= k:
+            return [lo, mx]
+        head = mx[:k]
+        for i in range(len(head) - 1, -1, -1):
+            cp = ord(head[i])
+            if cp < 0x10FFFF and not 0xD7FF <= cp <= 0xE000:
+                return [lo, head[:i] + chr(cp + 1)]
+        return None
+
+    def _footer_stats(self, path: str) -> dict[str, list]:
+        """Per-column [lower, upper] bounds for one parquet file, read from
+        its footer (driver-side, metadata-only — no data pages). Only
+        JSON-stable atomic types participate: int / float / bool / str
+        (truncated). A column missing min/max in ANY row group carries no
+        stats (pruning keeps the file)."""
+        import math
+
+        try:
+            import pyarrow.parquet as pq
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return {}
+        agg: dict[str, list | None] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name:          # nested leaves — not prunable here
+                    continue
+                if name in agg and agg[name] is None:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    agg[name] = None
+                    continue
+                mn, mx = st.min, st.max
+                if not (isinstance(mn, (int, float, bool, str))
+                        and isinstance(mx, (int, float, bool, str))):
+                    agg[name] = None     # timestamps/bytes: skip (JSON shape)
+                    continue
+                if isinstance(mn, float) and (math.isnan(mn) or math.isnan(mx)):
+                    agg[name] = None
+                    continue
+                if isinstance(mn, str):
+                    b = self._trunc_bounds(mn, mx)
+                    if b is None:
+                        agg[name] = None
+                        continue
+                    mn, mx = b
+                cur = agg.get(name)  # None-marked columns continue'd above
+                agg[name] = [mn, mx] if cur is None else [
+                    min(cur[0], mn), max(cur[1], mx)]
+        return {k: v for k, v in agg.items() if v is not None}
+
+    def _attach_stats(self, snap: Snapshot) -> None:
+        """Populate snap.file_stats: carry bounds forward from the parent
+        manifest for files that persist (data files are immutable), read
+        footers only for files new in this commit — O(new files) driver
+        work per commit, which is O(batch), not O(table)."""
+        if os.environ.get("SPARK_CDC_FILE_STATS", "1") == "0":
+            return
+        parent_stats: dict[str, dict] = {}
+        if snap.parent is not None:
+            ppath = os.path.join(self.meta_dir, f"v{snap.parent}.json")
+            if self.io.exists(ppath):
+                parent_stats = Snapshot.from_json(self.io.read(ppath)).file_stats
+        snap.file_stats = {
+            f: parent_stats[f] if f in parent_stats else self._footer_stats(f)
+            for f in sorted(set(self._all_files(snap)))
+        }
+
     def _commit(self, snap: Snapshot) -> None:
         # Compare-and-swap concurrency control for EVERY commit path
         # (upsert, compact, delete_where, replace_all): two committers
@@ -180,6 +269,7 @@ class SnapshotTable:
         # none — manifest creation IS the commit point, and the CURRENT
         # pointer is just a cache that current() rolls forward.)
         snap.committed_at_ms = int(time.time() * 1000)
+        self._attach_stats(snap)
         path = os.path.join(self.meta_dir, f"v{snap.version}.json")
         if not self.io.create_exclusive(path, snap.to_json()):
             raise RuntimeError(
@@ -438,6 +528,111 @@ class SnapshotTable:
                 "_change_type",
             )
         )
+
+    # ---- predicate scan planning (file pruning) --------------------------
+
+    @staticmethod
+    def _may_match(bounds: list | None, op: str, val) -> bool:
+        """Can a file whose column spans ``bounds`` contain a row satisfying
+        ``col <op> val``? Unknown bounds → yes (never prune blind)."""
+        if bounds is None:
+            return True
+        lo, hi = bounds
+        # bounds are conservative (string bounds are loosened by truncation,
+        # never tightened), so plain comparisons are safe for every type
+        if op == "=":
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+        if op == "in":
+            return any(SnapshotTable._may_match(bounds, "=", v) for v in val)
+        if op == "between":
+            return hi >= val[0] and lo <= val[1]
+        raise ValueError(f"unsupported predicate op {op!r}")
+
+    def plan_scan(self, preds: list[tuple], version: int | None = None) -> dict[str, Any]:
+        """Scan planning for a conjunction of simple predicates
+        ``(col, op, value)`` with op in {=, <, <=, >, >=, in, between}:
+        returns the pruned file list plus counts, using the per-file column
+        bounds recorded in the manifest — Iceberg's metadata-only file
+        filtering, the single biggest 100 TB lever after bucket pruning.
+
+        MoR safety rule: only KEY-column predicates prune files. A non-key
+        predicate could drop the delta file holding a key's LATEST version
+        while an older version of the same key survives elsewhere — the LWW
+        resolve would then resurrect the stale row. Key-column pruning is
+        safe because every file containing a given key value overlaps that
+        value's bounds, so all of them are kept or none. CoW buckets own
+        each row exactly once, so every column prunes."""
+        for _c, op, _v in preds:
+            if op not in ("=", "<", "<=", ">", ">=", "in", "between"):
+                raise ValueError(f"unsupported predicate op {op!r}")
+        snap = self.current() if version is None else self.snapshot_at(version)
+        prunable = (
+            [p for p in preds if p[0] in snap.key_cols]
+            if snap.mode == "mor" else preds
+        )
+        # hash-bucket pruning for point lookups: an equality predicate on
+        # EVERY key column pins the row to one bucket — (B-1)/B of the files
+        # drop before stats are even consulted (safe in both modes: a bucket
+        # owns all versions of its keys)
+        eq = {c: v for c, op, v in preds if op == "="}
+        buckets = None
+        if all(k in eq for k in snap.key_cols):
+            row = self.spark.createDataFrame(
+                [tuple(eq[k] for k in snap.key_cols)], snap.key_cols)
+            buckets = [
+                r[0] for r in row.select(
+                    _bucket_expr(snap.key_cols, snap.n_buckets)).collect()
+            ]
+        files_total = len(self._all_files(snap))
+        files = self._all_files(snap, buckets)
+        kept = [
+            f for f in files
+            if all(
+                self._may_match(snap.file_stats.get(f, {}).get(c), op, v)
+                for c, op, v in prunable
+            )
+        ] if snap.file_stats else list(files)
+        return {"files_total": files_total, "files_kept": len(kept),
+                "files": kept, "snapshot": snap}
+
+    def read_where(self, preds: list[tuple],
+                   version: int | None = None) -> DataFrame:
+        """Filtered read with manifest-level file pruning: files whose
+        recorded column bounds cannot satisfy the conjunction are never
+        opened; the SAME predicates are then applied as real Spark filters
+        (and push down into the surviving parquet scans), so results are
+        exact regardless of stats coverage."""
+        plan = self.plan_scan(preds, version)
+        snap: Snapshot = plan["snapshot"]
+        schema = snap.schema()
+
+        def _flt(df: DataFrame) -> DataFrame:
+            cond = F.lit(True)
+            for c, op, v in preds:
+                col = F.col(c)
+                cond = cond & {
+                    "=": lambda: col == v,
+                    "<": lambda: col < v,
+                    "<=": lambda: col <= v,
+                    ">": lambda: col > v,
+                    ">=": lambda: col >= v,
+                    "in": lambda: col.isin(list(v)),
+                    "between": lambda: (col >= v[0]) & (col <= v[1]),
+                }[op]()
+            return df.where(cond)
+
+        if snap.mode == "mor":
+            raw = self._read_files(plan["files"], self._mor_schema(schema))
+            return _flt(self._resolve(raw, schema, snap.key_cols))
+        return _flt(self._read_files(plan["files"], schema))
 
     def last_epoch(self, channel: str) -> int:
         return self.current().epochs.get(channel, -1)
