@@ -89,6 +89,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-fs-probe", action="store_true",
                    help="skip the filesystem mtime probe for tables whose"
                         " catalog detail carries no lastModified")
+    p.add_argument("--history", metavar="TABLE",
+                   help="print the commit log (snapshots metadata table) of"
+                        " one warehouse table as JSON and exit")
+    p.add_argument("--changes", nargs="+", metavar=("TABLE FROM", "TO"),
+                   help="print the incremental change feed of TABLE between"
+                        " snapshot FROM and TO (default: current) — counts"
+                        " per _change_type; --output writes the feed rows"
+                        " to parquet")
     args = p.parse_args(argv)
 
     if args.conf:
@@ -167,6 +175,41 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.source, args.generate, args.chunks
             )
             print(json.dumps({"generated_chunks": paths}))
+            return 0
+
+        if args.history or args.changes:
+            # metadata-only audit modes over an EXISTING warehouse — no
+            # CDCPipeline construction (which would create missing tables)
+            from pyspark.sql import functions as F
+
+            from amundsendatabuilder_spark.plans.lake import SnapshotLake
+
+            lake = SnapshotLake(spark, args.warehouse)
+            name = args.history or args.changes[0]
+            if not lake.exists(name):
+                p.error(f"table {name!r} does not exist in {args.warehouse}")
+            tbl = lake.table(name)
+            if args.history:
+                print(json.dumps(tbl.history(), default=str))
+                return 0
+            if len(args.changes) not in (2, 3):
+                p.error("--changes takes TABLE FROM [TO]")
+            v_from = int(args.changes[1])
+            v_to = int(args.changes[2]) if len(args.changes) == 3 else None
+            feed = tbl.changes(v_from, v_to)
+            if args.output:
+                feed.write.mode("overwrite").parquet(args.output)
+            counts = {
+                r["_change_type"]: r["count"]
+                for r in feed.groupBy("_change_type").count().collect()
+            }
+            print(json.dumps({
+                "table": name, "from_version": v_from,
+                "to_version": v_to if v_to is not None
+                else tbl.current().version,
+                "changes": counts,
+                "output": args.output,
+            }))
             return 0
 
         pipe = CDCPipeline(
