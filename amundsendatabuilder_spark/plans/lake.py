@@ -585,8 +585,16 @@ class SnapshotTable:
         eq = {c: v for c, op, v in preds if op == "="}
         buckets = None
         if all(k in eq for k in snap.key_cols):
+            # probe row pinned to the TABLE's key schema: xxhash64 is
+            # type-sensitive, so an implicitly-coerced literal (int vs
+            # string key) must fail loudly here rather than hash to — and
+            # prune to — the wrong bucket
+            kschema = T.StructType([
+                next(f for f in snap.schema().fields if f.name == k)
+                for k in snap.key_cols
+            ])
             row = self.spark.createDataFrame(
-                [tuple(eq[k] for k in snap.key_cols)], snap.key_cols)
+                [tuple(eq[k] for k in snap.key_cols)], kschema)
             buckets = [
                 r[0] for r in row.select(
                     _bucket_expr(snap.key_cols, snap.n_buckets)).collect()
