@@ -645,27 +645,70 @@ class SnapshotTable:
     def last_epoch(self, channel: str) -> int:
         return self.current().epochs.get(channel, -1)
 
+    def _key_box_prune(self, snap: Snapshot, files: list[str],
+                       box: dict[str, tuple]) -> list[str]:
+        """Drop files whose recorded key-column bounds cannot overlap the
+        batch's key bounding box. Key-column pruning is safe in both modes:
+        every file holding any version of a matching key overlaps the box,
+        so all of them survive together (same rule as plan_scan's MoR
+        clause). Files without stats are kept."""
+        if not snap.file_stats or not box:
+            return files
+        return [
+            f for f in files
+            if all(
+                self._may_match(
+                    snap.file_stats.get(f, {}).get(c), "between", (lo, hi))
+                for c, (lo, hi) in box.items()
+            )
+        ]
+
     def read_for_keys(self, keys_df: DataFrame,
                       columns: list[str] | None = None) -> DataFrame:
         """Current rows whose key appears in ``keys_df`` — reads only the
-        touched buckets (manifest pruning) then left-semi joins on the key.
-        ``columns`` prunes the projection down to the parquet scan (pass only
-        what you need: wide columns like ``content`` dominate scan bytes).
-        The point-lookup primitive of the CDC diff path."""
+        touched buckets (manifest pruning), skips files whose recorded key
+        bounds miss the batch's key bounding box (when entity keys arrive in
+        waves, other waves' delta files never open), then left-semi joins on
+        the key. ``columns`` prunes the projection down to the parquet scan
+        (pass only what you need: wide columns like ``content`` dominate
+        scan bytes). The point-lookup primitive of the CDC diff path."""
         snap = self.current()
         schema = snap.schema()
         if columns is not None:
             want = set(columns) | set(snap.key_cols)
             schema = T.StructType([f for f in schema.fields if f.name in want])
-        b = keys_df.select(_bucket_expr(snap.key_cols, snap.n_buckets).alias("b"))
-        touched = [r[0] for r in b.distinct().collect()]
+        # ONE aggregate job yields the touched buckets AND the key bounding
+        # box (plus a null-key flag: parquet bounds say nothing about nulls,
+        # so any null key disables box pruning — bucket pruning still holds)
+        aggs = [F.collect_set(F.col("__b")).alias("__bs")]
+        for k in snap.key_cols:
+            aggs += [
+                F.min(k).alias(f"__mn_{k}"),
+                F.max(k).alias(f"__mx_{k}"),
+                F.max(F.col(k).isNull().cast("int")).alias(f"__null_{k}"),
+            ]
+        probe = (
+            keys_df.select(
+                _bucket_expr(snap.key_cols, snap.n_buckets).alias("__b"),
+                *snap.key_cols,
+            )
+            .agg(*aggs)
+            .collect()[0]
+        )
+        touched = probe["__bs"]
+        box = {
+            k: (probe[f"__mn_{k}"], probe[f"__mx_{k}"])
+            for k in snap.key_cols
+            if not probe[f"__null_{k}"] and probe[f"__mn_{k}"] is not None
+        }
+        files = self._key_box_prune(snap, self._all_files(snap, touched), box)
         keys_only = keys_df.select(*snap.key_cols).dropDuplicates(snap.key_cols)
         if snap.mode == "mor":
             raw = self._read_files(
-                self._all_files(snap, touched), self._mor_schema(schema)
+                files, self._mor_schema(schema)
             ).join(keys_only, on=snap.key_cols, how="left_semi")
             return self._resolve(raw, schema, snap.key_cols)
-        cur = self._read_files(self._all_files(snap, touched), schema)
+        cur = self._read_files(files, schema)
         return cur.join(keys_only, on=snap.key_cols, how="left_semi")
 
     # ---- schema evolution ----------------------------------------------

@@ -148,3 +148,34 @@ def test_may_match_matrix():
     assert m(b, "in", [1, 2, 15]) and not m(b, "in", [1, 2])
     assert m(b, "between", (20, 30)) and not m(b, "between", (21, 30))
     assert m(None, "=", 999)  # unknown bounds never prune
+
+
+def test_read_for_keys_box_prunes_other_waves(spark, warehouse):
+    """read_for_keys' key bounding box skips delta files from other key
+    waves (file-level, via manifest bounds) while returning exact rows —
+    including when the lookup batch carries a null key (box pruning
+    disables itself; null keys never match a left-semi join anyway)."""
+    t = _mk(spark, warehouse, "mor")
+
+    def wave(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("k"), F.format_string("%04d", F.col("id"))).alias("key"),
+            F.lit("g").alias("grp"),
+            F.col("id").alias("v"),
+        )
+
+    t.merge_upsert(wave(0, 200), 0)
+    t.merge_upsert(wave(200, 400), 1)
+    snap = t.current()
+    all_files = t._all_files(snap)
+    pruned = t._key_box_prune(snap, all_files, {"key": ("k0300", "k0310")})
+    assert 0 < len(pruned) < len(all_files), (
+        "wave-0 delta files must drop out of a wave-1 key box")
+    keys = spark.createDataFrame([("k0300",), ("k0305",)], ["key"])
+    got = {r["key"]: r["v"] for r in t.read_for_keys(keys).collect()}
+    assert got == {"k0300": 300, "k0305": 305}
+    # a null key in the batch disables box pruning but stays correct
+    keys2 = spark.createDataFrame(
+        [("k0010",), (None,)], T.StructType([T.StructField("key", T.StringType())]))
+    got2 = {r["key"]: r["v"] for r in t.read_for_keys(keys2).collect()}
+    assert got2 == {"k0010": 10}
