@@ -150,6 +150,35 @@ def test_may_match_matrix():
     assert m(None, "=", 999)  # unknown bounds never prune
 
 
+def test_compaction_clusters_buckets(spark, warehouse):
+    """compact() key-sorts each rewritten bucket and caps file size, so a
+    big bucket splits into files with DISJOINT key ranges — the manifest
+    bounds then prune point lookups down to ~1 base file per key."""
+    lake = SnapshotLake(spark, warehouse)
+    t = lake.create_table("fs_cluster", SCHEMA, ["key"], n_buckets=1, mode="mor")
+    df = spark.range(1000).select(
+        F.concat(F.lit("k"), F.format_string("%04d", F.col("id"))).alias("key"),
+        F.lit("g").alias("grp"),
+        F.col("id").alias("v"),
+    )
+    t.merge_upsert(df, 0)
+    m = t.compact(target_file_rows=200)
+    assert m["compacted_buckets"] == 1 and m["output_files"] >= 5
+    snap = t.current()
+    stats = snap.file_stats
+    bounds = sorted(stats[f]["key"] for f in snap.files["0"])
+    assert len(bounds) == m["output_files"]
+    for (_, hi), (lo2, _) in zip(bounds, bounds[1:]):
+        assert hi <= lo2, "clustered files must cover disjoint key ranges"
+    pruned = t._key_box_prune(snap, t._all_files(snap), {"key": ("k0500", "k0500")})
+    assert len(pruned) == 1
+    keys = spark.createDataFrame([("k0500",)], ["key"])
+    assert [(r["key"], r["v"]) for r in t.read_for_keys(keys).collect()] == [
+        ("k0500", 500)]
+    # full read still exact after the clustered rewrite
+    assert t.read().count() == 1000
+
+
 def test_read_for_keys_box_prunes_other_waves(spark, warehouse):
     """read_for_keys' key bounding box skips delta files from other key
     waves (file-level, via manifest bounds) while returning exact rows —
