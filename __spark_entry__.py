@@ -1098,6 +1098,27 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Cross-corpus paragraph-level dedup (functions/dedup.paragraph_dedup,
+    RefinedWeb-style keep-first over 5-word blocks): shuffle-free block
+    explode, one window shuffle keyed by block text, one partial-agg
+    rollup per doc.  Integer permille output — no float surface."""
+    from amundsendatabuilder_spark.functions.dedup import paragraph_dedup
+
+    return paragraph_dedup(_t(spark, sf_dir, "documents"), block_words=5)
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style within-doc repetition quality signals
+    (functions/text.repetition_signals): per-row higher-order-function
+    token/bigram stats plus a two-stage partial-agg mode count for the
+    top word — the repetition filter a MassiveText-scale curation pass
+    runs before training."""
+    from amundsendatabuilder_spark.functions.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
 def q_sessions_channel(spark, sf_dir):
     """The exactly-once 'sessions' pipeline channel
     (streaming/pipeline.CDCPipeline.apply_sessions): the event log is
@@ -1259,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "vocab_topk": q_vocab_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "paragraph_dedup": q_paragraph_dedup,
+        "repetition_signals": q_repetition_signals,
         "dashboard_search_docs": q_dashboard_search_docs,
         "user_search_docs": q_user_search_docs,
         "cdc_replay_tables": q_cdc_replay_tables,
@@ -1793,6 +1816,47 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
                   FROM s)
             SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 3
+        """,
+        "paragraph_dedup": """
+            WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+                       FROM documents),
+            blk AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS block_idx,
+                     array_to_string(ws[(i-1)*5+1:(i-1)*5+5], ' ') AS block
+              FROM w, LATERAL (SELECT unnest(range(1, CAST(ceil(len(ws)/5.0) AS INT) + 1)) AS i) u),
+            f AS (SELECT doc_id,
+                         CASE WHEN row_number() OVER (
+                             PARTITION BY block ORDER BY doc_id, block_idx) > 1
+                              THEN 1 ELSE 0 END AS is_dup
+                  FROM blk)
+            SELECT doc_id, count(*) AS n_blocks,
+                   CAST(sum(is_dup) AS BIGINT) AS n_dup_blocks,
+                   CAST((sum(is_dup) * 1000) // count(*) AS BIGINT) AS dup_permille
+            FROM f GROUP BY 1
+        """,
+        "repetition_signals": """
+            WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+                       FROM documents),
+            base AS (SELECT doc_id,
+                CAST(len(ws) AS BIGINT) AS n_words,
+                CAST(len(list_distinct(ws)) AS BIGINT) AS distinct_words,
+                CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_bigrams,
+                CAST(len(list_distinct(
+                    [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])) AS BIGINT)
+                  AS distinct_bigrams
+              FROM w),
+            t AS (SELECT doc_id, unnest(ws) AS word FROM w),
+            c AS (SELECT doc_id, word, count(*) AS c FROM t GROUP BY 1, 2),
+            top AS (SELECT doc_id, max(c) AS top_word_count FROM c GROUP BY 1)
+            SELECT b.doc_id, n_words, distinct_words,
+                   CAST(coalesce(top_word_count, 0) AS BIGINT) AS top_word_count,
+                   CAST(CASE WHEN n_words > 0
+                             THEN ((n_words - distinct_words) * 1000) // n_words
+                             ELSE 0 END AS BIGINT) AS dup_word_permille,
+                   CAST(CASE WHEN n_bigrams > 0
+                             THEN ((n_bigrams - distinct_bigrams) * 1000) // n_bigrams
+                             ELSE 0 END AS BIGINT) AS dup_bigram_permille
+            FROM base b LEFT JOIN top USING (doc_id)
         """,
         "sessions_channel": """
             WITH e AS (

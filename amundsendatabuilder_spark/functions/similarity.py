@@ -261,3 +261,135 @@ def embedding_neardup_pairs(
             F.col(f"a.{block_col}").alias(block_col),
         )
     )
+
+
+def _dot_literal(vec_col, cent: list[float]):
+    return F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.array(*[F.lit(float(x)) for x in cent]),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Distributed Lloyd k-means coarse quantizer (the IVF training step).
+
+    Deterministic init: the ``n_centroids`` rows with the smallest
+    ``md5(id)`` — a seedless uniform sample that is stable under
+    repartitioning and replay.  Each iteration assigns every row to its
+    nearest centroid JVM-side (literal-array dot products, whole-stage
+    codegen — centroids are driver-known and tiny), then recomputes means
+    distributed: ``posexplode`` the vectors and partial-agg ``avg`` per
+    ``(cluster, dim_idx)`` — two map-side-combining shuffles per iteration,
+    no driver-side data beyond the k×dim centroid matrix.  Empty clusters
+    keep their previous centroid.
+    """
+    init = (
+        df.select(F.col(vec_col).alias("v"),
+                  F.md5(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h").limit(n_centroids).collect()
+    )
+    cents = [[float(x) for x in r["v"]] for r in init]
+    for _ in range(iters):
+        assigned = assign_clusters(df, cents, vec_col=vec_col).select(
+            "cluster", F.col(vec_col).alias("v"))
+        upd = (
+            assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cluster")
+            .agg(F.sort_array(F.collect_list(F.struct("i", "m"))).alias("s"))
+            .collect()
+        )
+        nxt = list(cents)
+        for r in upd:
+            nxt[r["cluster"]] = [e["m"] for e in r["s"]]
+        cents = nxt
+    return cents
+
+
+def assign_clusters(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Attach the nearest-centroid id(s) by cosine (centroids normalized
+    driver-side; the row's own norm is constant across centroids so argmax
+    over normalized-centroid dots IS the cosine argmax).  ``nprobe`` > 1
+    explodes each row into its ``nprobe`` best clusters — the IVF query-side
+    multi-probe.  Pure map side: zero shuffles, deterministic ties (lowest
+    cluster id wins via the struct sort)."""
+    import math
+
+    ncents = []
+    for c in cents:
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        ncents.append([x / n for x in c])
+    scores = F.array(*[_dot_literal(F.col(vec_col), c) for c in ncents])
+    ranked = F.reverse(F.array_sort(F.transform(
+        F.sequence(F.lit(0), F.lit(len(ncents) - 1)),
+        lambda i: F.struct(
+            F.element_at(scores, i + 1).alias("s"),
+            (-i).cast("long").alias("negc"),
+        ),
+    )))
+    if nprobe <= 1:
+        return df.withColumn("cluster", (-F.element_at(ranked, 1)["negc"]).cast("int"))
+    return (
+        df.withColumn("__probe", F.explode(F.slice(ranked, 1, nprobe)))
+        .withColumn("cluster", (-F.col("__probe")["negc"]).cast("int"))
+        .drop("__probe")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 3,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k by IVF (inverted-file) coarse quantization — the
+    other canonical 100 TB ANN shape next to :func:`lsh_bucket_topk`.
+
+    Train a k-means coarse quantizer on the corpus, assign each corpus row
+    to its single nearest centroid, probe each query against its ``nprobe``
+    nearest centroids, and score cosine only on same-cell pairs.  The
+    corpus is never shuffled: the query side (exploded ×nprobe) is
+    broadcast, so candidate generation is a broadcast hash join on the
+    cell id against the map-side corpus scan; only the final per-query
+    top-k (candidate-sized, not corpus-sized) shuffles.  Recall improves
+    with ``nprobe`` (exact when nprobe = n_centroids — every cell probed).
+    """
+    cents = kmeans_centroids(corpus, id_col=id_col, vec_col=vec_col,
+                             n_centroids=n_centroids, iters=iters)
+    c = assign_clusters(corpus, cents, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cluster")
+    q = assign_clusters(queries, cents, vec_col=vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cluster")
+    cand = (
+        c.join(F.broadcast(q), "cluster")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        cosine_similarity_col(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -192,3 +192,69 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
         .select(F.col(id_col), "term", "tf", "score",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition quality signals.
+
+    The Gopher/MassiveText quality filters drop documents whose content is
+    dominated by repeated lines or n-grams; the test corpus is single-line
+    word streams, so the word- and bigram-level analogues are computed:
+
+    * ``n_words`` — whitespace token count.
+    * ``distinct_words`` — distinct lowercased tokens.
+    * ``top_word_count`` — occurrences of the single most frequent token
+      (the "fraction of tokens in the most common n-gram" signal, n=1).
+    * ``dup_word_permille`` — integer ‰ of token occurrences that are
+      repeats of an earlier token (``1000·(n-distinct)/n``).
+    * ``dup_bigram_permille`` — same at bigram level: repeated word-pair
+      occurrences over total bigrams.
+
+    Scale shape: the array signals (counts, distincts, bigrams) are per-row
+    higher-order functions — pure map side, zero shuffles, whole-stage
+    codegen.  Only ``top_word_count`` needs aggregation: an explode →
+    partial-agg count keyed by ``(doc, word)`` → partial-agg max keyed by
+    ``doc`` — two map-side-combining shuffles on the document key, no joins.
+    Integer outputs only (permille via integer division) so the DuckDB
+    oracle matches bit-for-bit.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    nb = F.size(words) - 1  # bigram count
+    bigrams = F.when(nb <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nb),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("distinct_words"),
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("distinct_bigrams"),
+    )
+    top = (
+        df.select(F.col(id_col), F.explode(words).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_word_count"))
+    )
+    return (
+        base.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            "distinct_words",
+            F.coalesce(F.col("top_word_count"), F.lit(0)).cast("long").alias("top_word_count"),
+            F.expr(
+                "CAST(CASE WHEN n_words > 0 THEN ((n_words - distinct_words) * 1000) DIV n_words "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("dup_word_permille"),
+            F.expr(
+                "CAST(CASE WHEN n_bigrams > 0 THEN ((n_bigrams - distinct_bigrams) * 1000) DIV n_bigrams "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("dup_bigram_permille"),
+        )
+    )

@@ -75,5 +75,5 @@ def tables_with_badges(tables: DataFrame, badges: DataFrame) -> DataFrame:
 
 def generic_rows(spark: SparkSession, rows: list[dict], schema: str) -> DataFrame:
     """``GenericExtractor`` (``generic_extractor.py:12``): literal rows."""
-    return spark.createDataFrame([tuple(r[f.split(" ")[0].strip()] for f in schema.split(","))
-                                  for r in rows], schema)
+    names = [f.strip().split(" ")[0] for f in schema.split(",")]
+    return spark.createDataFrame([tuple(r[n] for n in names) for r in rows], schema)

@@ -365,3 +365,65 @@ def test_profile_columns_into_stat_nodes(spark):
     rels = am.table_column_stats_relations(stats).collect()
     assert {r["end_key"] for r in rels} == {"hive://gold.s/t/a",
                                             "hive://gold.s/t/b"}
+
+
+# ---------------------------------------------------------------------------
+# paragraph dedup / repetition signals
+# ---------------------------------------------------------------------------
+
+def test_paragraph_dedup_keep_first(spark):
+    from amundsendatabuilder_spark.functions.dedup import paragraph_dedup
+
+    # block size 2: doc1 = [a b][c d], doc2 = [a b][a b][x y]
+    # "a b" first occurs at (1, 0); its copies at (2, 0) and (2, 1) are dups.
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d"),
+        Row(doc_id=2, text="a b a b x y"),
+    ])
+    rows = {r["doc_id"]: r.asDict() for r in paragraph_dedup(df, block_words=2).collect()}
+    assert rows[1]["n_blocks"] == 2 and rows[1]["n_dup_blocks"] == 0
+    assert rows[2]["n_blocks"] == 3 and rows[2]["n_dup_blocks"] == 2
+    assert rows[2]["dup_permille"] == 666  # integer division, no float
+
+
+def test_paragraph_dedup_ragged_tail_block(spark):
+    from amundsendatabuilder_spark.functions.dedup import paragraph_dedup
+
+    # 5 words at block size 2 -> blocks [a b][c d][e]; the short tail is a
+    # real block (slice clips), so two docs sharing only the tail word dedup.
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e"),
+        Row(doc_id=2, text="p q r s e"),
+    ])
+    rows = {r["doc_id"]: r.asDict() for r in paragraph_dedup(df, block_words=2).collect()}
+    assert rows[1]["n_blocks"] == 3 and rows[1]["n_dup_blocks"] == 0
+    assert rows[2]["n_blocks"] == 3 and rows[2]["n_dup_blocks"] == 1
+
+
+def test_repetition_signals_values(spark):
+    from amundsendatabuilder_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="spam spam spam spam"),   # total repetition
+        Row(doc_id=2, text="all words are unique"),  # none
+        Row(doc_id=3, text="go go stop go"),
+    ])
+    rows = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_words"], r1["distinct_words"], r1["top_word_count"]) == (4, 1, 4)
+    assert r1["dup_word_permille"] == 750           # (4-1)*1000 DIV 4
+    assert r1["dup_bigram_permille"] == 666         # bigrams: 3 total, 1 distinct
+    r2 = rows[2]
+    assert r2["dup_word_permille"] == 0 and r2["dup_bigram_permille"] == 0
+    assert r2["top_word_count"] == 1
+    r3 = rows[3]
+    # words: go x3, stop -> top 3; bigrams: [go go][go stop][stop go] all distinct
+    assert (r3["top_word_count"], r3["dup_word_permille"], r3["dup_bigram_permille"]) == (3, 500, 0)
+
+
+def test_repetition_signals_single_word_doc(spark):
+    from amundsendatabuilder_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame([Row(doc_id=1, text="lonely")])
+    r = repetition_signals(df).collect()[0]
+    assert r["n_words"] == 1 and r["dup_bigram_permille"] == 0

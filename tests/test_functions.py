@@ -298,3 +298,62 @@ def test_sessionize_events_gap_semantics(spark):
     # one exchange: windows + agg share the user_id partitioning
     plan = sessionize_events(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # data exchange + AQE final read
+
+
+def test_read_csv_rfc4180_and_generic_rows(spark, tmp_path):
+    """CsvExtractor parity (csv_extractor.py:40-44): quoted fields spanning
+    lines and doubled embedded quotes parse like csv.DictReader; plus the
+    GenericExtractor literal-rows path."""
+    from amundsendatabuilder_spark.sources.csv_sources import generic_rows, read_csv
+
+    p = tmp_path / "t.csv"
+    p.write_text(
+        'name,description\n'
+        'orders,"multi\nline ""quoted"" desc"\n'
+        'users,plain\n'
+    )
+    rows = {r["name"]: r["description"] for r in read_csv(spark, str(p)).collect()}
+    assert rows["orders"] == 'multi\nline "quoted" desc'
+    assert rows["users"] == "plain"
+
+    g = generic_rows(spark, [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}], "a int, b string")
+    assert sorted((r["a"], r["b"]) for r in g.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF ANN (similarity.ivf_topk) recall@5 vs the exact baseline on the
+    embeddings table; exact when every cell is probed."""
+    from amundsendatabuilder_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, iters=2, nprobe=3)
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"recall {recall} too low for nprobe=3/8 cells"
+
+    # probing every cell makes IVF exact (same candidates as brute force)
+    full = ivf_topk(emb, queries, k=5, n_centroids=8, iters=2, nprobe=8)
+    got_full = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert got_full == truth
+
+
+def test_assign_clusters_deterministic_and_probe_shape(spark):
+    from amundsendatabuilder_spark.functions.similarity import assign_clusters
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    cents = [[1.0] + [0.0] * 63, [0.0, 1.0] + [0.0] * 62, [0.0] * 63 + [1.0]]
+    one = assign_clusters(emb, cents)
+    a = {r["vec_id"]: r["cluster"] for r in one.collect()}
+    b = {r["vec_id"]: r["cluster"] for r in one.collect()}
+    assert a == b and set(a.values()) <= {0, 1, 2}
+    three = assign_clusters(emb, cents, nprobe=3)
+    per = three.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 3 for r in per)
