@@ -47,10 +47,19 @@ host's per-task CPU inflation plus one-wave stages collapse utilization to
 ~0.25 (raw eff 0.29) — the evidence lives in BENCH.md.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_EVENTS (default 6_000_000),
-SPARK_GRAFT_BENCH_CHUNKS (4), SPARK_GRAFT_BENCH_ROUNDS (3),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_EVENTS (default 2_000_000),
+SPARK_GRAFT_BENCH_CHUNKS (4), SPARK_GRAFT_BENCH_ROUNDS (6),
 SPARK_GRAFT_BENCH_PAIRS (default "1:4"; first = headline),
 SPARK_GRAFT_BENCH_BUDGET_SEC (default 2000: skip later rounds when exceeded).
+
+r5 default change: EVENTS 6M -> 2M, ROUNDS 3 -> 6 (budget-gated). This
+host's quiet windows are ~10 min; a 6M arm takes 14-22 min so every
+r5 6M run straddled a degraded window no matter when it launched
+(BENCH.md run4/run5). At 2M each arm fits inside one window and the
+budget admits 3-6 rounds, so the per-arm MINIMA (unchanged protocol)
+select the quietest window actually observed. The 6M protocol stays
+available via SPARK_GRAFT_BENCH_EVENTS=6000000 for r3/r4 comparability;
+the record's replay.events field says which variant ran.
 
 r4 variance defense: defaults sized so at least TWO full rounds fit the
 budget and the headline takes per-arm MINIMA across rounds — the r4-run3
@@ -76,9 +85,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "6000000"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
 N_CHUNKS = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNKS", "4"))
-N_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+N_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "6"))
 PAIRS_SPEC = os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "1:4")
 BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2000"))
 DETAIL_FILE = os.environ.get(
