@@ -425,6 +425,19 @@ def main() -> None:
             "wall_samples_4N": [x["wall"] for x in runs[n4c]],
             "probe_miters_N": [x.get("pre_probe_miters_1t") for x in runs[nc]],
             "probe_miters_4N": [x.get("pre_probe_miters_1t") for x in runs[n4c]],
+            # per-ROUND factorization evidence (r4 VERDICT directive 2b:
+            # window attribution must be machine-checkable from the compact
+            # record alone): round i pairs the i-th N arm with the i-th 4N
+            # arm, so a mid-run window collapse shows up as one round's
+            # substrate ratio diverging while its raw eff tracks it
+            "raw_eff_rounds": [
+                round(a["wall"] / (4.0 * b["wall"]), 3)
+                for a, b in zip(runs[nc], runs[n4c])
+            ],
+            "substrate_cpu_ratio_rounds": [
+                round(a["exec_cpu_sec"] / max(1e-9, b["exec_cpu_sec"]), 3)
+                for a, b in zip(runs[nc], runs[n4c])
+            ],
         }
 
     pairs = {f"{a}to{b}": pair_result(a, b) for a, b in pair_specs}
@@ -457,6 +470,10 @@ def main() -> None:
         "substrate_cpu_ratio": head["substrate_cpu_ratio"],
         "identical_plan_across_widths": head["identical_plan"],
         "digests_match_across_parallelism": head["digests_match"],
+        # per-round evidence in the COMPACT line so the driver's artifact
+        # carries the window attribution even if the detail file is lost
+        "raw_eff_rounds": head["raw_eff_rounds"],
+        "substrate_cpu_ratio_rounds": head["substrate_cpu_ratio_rounds"],
         "final_rows": big["rows"],
         # every measured pair's raw efficiency at top level (no selection)
         "raw_eff_all_pairs": {
